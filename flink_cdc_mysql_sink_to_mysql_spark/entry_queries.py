@@ -1,0 +1,226 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame query (callable ``(spark, sf_dir) →
+DataFrame``) with an equivalent DuckDB ANSI-SQL oracle over the same
+parquet tables (pre-registered views: region nation customer supplier
+part orders lineitem events documents embeddings). Column names/types are
+aligned in BOTH so the driver's sorted-column value-hash matches.
+
+Determinism rules applied throughout:
+- timestamps surfaced as epoch millis (bigint) or formatted strings —
+  never raw timestamp objects (cross-engine tz representation differs);
+- float sums go through DECIMAL casts (exact arithmetic, order-free);
+- any float output is rounded to a fixed scale in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import cdc
+from .sources import transcripts as _src_mod  # noqa: F401
+from .sources.transcripts import (
+    MONGO_CHANGELOG_SQL,
+    MYSQL_CHANGELOG_SQL,
+    TRANSCRIPTS_SQL,
+    mongo_changelog,
+    mysql_changelog,
+    transcripts,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# 1. transcript base table (the canonical input derivation)
+# ---------------------------------------------------------------------------
+
+@register(
+    "transcripts_base",
+    oracle=f"""
+    SELECT conv_id, turn_idx, role, text, tool, epoch_ms(ts) AS ts_ms
+    FROM ({TRANSCRIPTS_SQL})
+    """,
+)
+def q_transcripts_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. flagship: changelog apply (keyed last-writer-wins upsert view)
+# ---------------------------------------------------------------------------
+
+CDC_APPLY_ORACLE = f"""
+WITH my AS ({MYSQL_CHANGELOG_SQL}),
+     mo AS ({MONGO_CHANGELOG_SQL}),
+     env AS (
+       SELECT op, conv_id, turn_idx, role, after_text, tool, ts, seq,
+              CASE op WHEN 'd' THEN 3 WHEN 'u' THEN 2 WHEN 'c' THEN 1 ELSE 0 END AS op_rank
+       FROM my
+       UNION ALL
+       SELECT 'c', conv_id, turn_idx, role, text, tool,
+              to_timestamp(create_time_ms / 1000.0), create_time_ms, 1
+       FROM mo
+     ),
+     w AS (
+       SELECT conv_id, turn_idx,
+              max_by(op,   seq * 4 + op_rank) AS op,
+              max_by(role, seq * 4 + op_rank) AS role,
+              max_by(after_text, seq * 4 + op_rank) AS text,
+              max_by(tool, seq * 4 + op_rank) AS tool,
+              max_by(epoch_ms(ts), seq * 4 + op_rank) AS ts_ms
+       FROM env GROUP BY conv_id, turn_idx
+     )
+SELECT conv_id, turn_idx, role, text, tool, ts_ms
+FROM w WHERE op != 'd'
+"""
+
+
+@register("cdc_apply_upsert", oracle=CDC_APPLY_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cdc.union_feeds(
+        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
+    )
+    mat = cdc.apply_changelog(env)
+    return mat.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. turn-event derivation (D1–D9 analog over the union of both dialects)
+# ---------------------------------------------------------------------------
+
+TURN_EVENTS_ORACLE = f"""
+WITH my AS ({MYSQL_CHANGELOG_SQL}),
+     mo AS ({MONGO_CHANGELOG_SQL}),
+     base AS (
+       SELECT conv_id, turn_idx, role, after_text AS text, ts, seq,
+              CASE role WHEN 'user' THEN 1 WHEN 'assistant' THEN 2
+                   WHEN 'tool' THEN 3 WHEN 'system' THEN 4 END AS kind
+       FROM my
+       WHERE op IN ('r','c','u') AND ts IS NOT NULL
+         AND (op != 'u' OR before_text IS NULL OR after_text IS NULL
+              OR before_text != after_text)
+     ),
+     mysql_events AS (
+       SELECT conv_id, turn_idx, kind AS event_kind, text, ts, seq FROM base
+       WHERE kind IS NOT NULL
+       UNION ALL
+       SELECT conv_id, turn_idx, 5, text, ts, seq FROM base
+       WHERE role = 'tool' AND text IS NOT NULL AND kind IS NOT NULL
+     ),
+     mongo_events AS (
+       SELECT conv_id, turn_idx, 10 AS event_kind, text,
+              to_timestamp(create_time_ms / 1000.0) AS ts,
+              create_time_ms AS seq
+       FROM mo
+     ),
+     ev AS (SELECT * FROM mysql_events UNION ALL SELECT * FROM mongo_events)
+SELECT conv_id, turn_idx, event_kind,
+       CASE event_kind WHEN 1 THEN 'user_turn' WHEN 2 THEN 'assistant_turn'
+            WHEN 3 THEN 'tool_turn' WHEN 4 THEN 'system_turn'
+            WHEN 5 THEN 'tool_result' WHEN 10 THEN 'external_turn' END AS event_name,
+       conv_id || '#' || CAST(turn_idx AS VARCHAR) AS source_id,
+       epoch_ms(ts) AS ts_ms, seq,
+       CAST(length(text) AS DECIMAL(18,2)) AS metric
+FROM ev
+"""
+
+
+def _turn_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cdc.union_feeds(
+        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
+    )
+    return cdc.derive_turn_events(env)
+
+
+@register("turn_events", oracle=TURN_EVENTS_ORACLE)
+def q_turn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _turn_events_df(spark, sf_dir)
+    return ev.select(
+        "conv_id",
+        "turn_idx",
+        "event_kind",
+        "event_name",
+        "source_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "seq",
+        "metric",
+    )
+
+
+# same semantics through the Arrow mapInPandas path (vectorized-UDF form)
+@register("turn_events_pandas", oracle=TURN_EVENTS_ORACLE)
+def q_turn_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cdc.union_feeds(
+        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
+    )
+    ev = cdc.derive_turn_events_pandas(env)
+    return ev.select(
+        "conv_id",
+        "turn_idx",
+        "event_kind",
+        "event_name",
+        "source_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "seq",
+        "metric",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. sink projection (reference 8-column JDBC insert parity, F4)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sink_rows",
+    oracle=f"""
+    WITH ev AS ({TURN_EVENTS_ORACLE})
+    SELECT conv_id, turn_idx, event_kind, event_name, source_id,
+           strftime(to_timestamp(ts_ms / 1000.0) + INTERVAL 8 HOUR,
+                    '%Y-%m-%d %H:%M:%S') AS event_time_str,
+           COALESCE(metric, CAST(-1 AS DECIMAL(18,2))) AS metric
+    FROM ev
+    """,
+)
+def q_sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _turn_events_df(spark, sf_dir)
+    return cdc.sink_rows(ev).drop("partition_id")

@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for the CDC engine.
+
+Scale stance: every knob here is chosen so the same code runs unchanged on
+a 1000-executor cluster — local[N] is only the test harness. AQE handles
+runtime re-planning (skew joins, coalescing post-shuffle partitions);
+Arrow is on because all Python-side logic is vectorized (pandas UDFs /
+mapInPandas — never row-at-a-time Python, per the execution-model
+constraint in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "transcript-cdc-engine",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    - session timezone pinned to UTC: event-time semantics must not depend
+      on the host zone (the reference hard-codes +08:00 only at the sink
+      formatting step, UserBehaviorClickHouseSinkJob.java:77 — we replicate
+      that at the sink, not in the session).
+    - AQE + skew-join on: the changelog is zipf-skewed on conv_id
+      (hot conversations), see plans/skew.py.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # 2x cores locally; on a real cluster this would be sized to
+        # ~128MB per shuffle partition at the target SF instead.
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.schemaInference", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

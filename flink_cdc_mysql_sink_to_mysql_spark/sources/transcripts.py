@@ -1,0 +1,237 @@
+"""Deterministic transcript table + Debezium-shaped changelog feeds.
+
+The north-rule input is an Iceberg table of multi-turn conversation
+transcripts ``(conv_id, turn_idx, role, text, tool, ts)``. In this sandbox
+the only driver-provided data is the TPC-H-ish testdata; we therefore
+derive the transcript table **deterministically** from the ``events``
+parquet (seed-42, driver-generated) with a pure relational mapping that is
+expressible identically in Spark and ANSI SQL (DuckDB) — this is what
+gives every CDC operator a real value-level oracle.
+
+Mapping (events → transcripts):
+- ``conv_id``  = 'c' || user_id            (conversation = user stream)
+- ``turn_idx`` = row_number over (user_id order by ts, event_id) - 1
+- ``role``     = event_type → {click: user, view: assistant,
+                 purchase: tool, error: tool, signup: system}
+- ``text``     = event_type || ' ' || props (pure string concat — exact
+                 cross-engine equality, the per-turn invariant)
+- ``tool``     = 'tool_' || event_type when role = 'tool' else null
+- ``ts``       = ts
+
+Changelog feeds (mirror the reference's two CDC dialects):
+
+1. **mysql dialect** (Debezium ``op/before/after``, analog of
+   `UserBehaviorDebeziumDeserializer.java:42-78`): rows with
+   ``event_id % 7 != 3``. Every row emits a base op ('r' for
+   ``turn_idx < 3`` — the snapshot phase — else 'c'); rows with
+   ``event_id % 10 = 7`` additionally emit an 'u' 60s later editing
+   ``text``; rows with ``event_id % 50 = 13`` additionally emit a 'd'
+   120s later. ``seq`` (epoch millis) totally orders the changelog per
+   key, mirroring binlog order.
+
+2. **mongo dialect** (``operationType/fullDocument`` with extended-JSON
+   scalars, analog of `UserReviewBehaviorDebeziumDeserializer.java:44-52`):
+   rows with ``event_id % 7 = 3``, insert-only, operationType cased
+   'INSERT' to exercise the reference's case-insensitive match (`:44`).
+
+All generation is branch-free deterministic arithmetic on (event_id,
+turn_idx) — no wall clock, no RNG — so golden outputs are stable and the
+same rows regenerate at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+TRANSCRIPT_FIELDS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+_ROLE_MAP = {
+    "click": "user",
+    "view": "assistant",
+    "purchase": "tool",
+    "error": "tool",
+    "signup": "system",
+}
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The base transcript table (F1 in FIXTURES.md).
+
+    Scale note: row_number per conv_id is a single hash-partitioned
+    window — at 100 TB the events source would already be bucketed by
+    user_id so this is shuffle-free; locally it is one shuffle.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _ROLE_MAP.items() for x in kv]),
+        F.col("event_type"),
+    )
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.col("event_type"), F.lit(" "), F.col("props")).alias("text"),
+        F.when(
+            role == "tool", F.concat(F.lit("tool_"), F.col("event_type"))
+        ).alias("tool"),
+        # parquet reads as TIMESTAMP_NTZ; pin to TIMESTAMP (session tz is
+        # UTC) so epoch arithmetic matches DuckDB's naive-as-UTC epoch_ms.
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id"),  # carried for deterministic changelog derivation
+    )
+
+
+# SQL fragment producing the identical transcript relation in DuckDB.
+# Kept adjacent to the Spark code so the two stay in lockstep.
+TRANSCRIPTS_SQL = """
+SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
+       CASE event_type WHEN 'click' THEN 'user' WHEN 'view' THEN 'assistant'
+            WHEN 'purchase' THEN 'tool' WHEN 'error' THEN 'tool'
+            WHEN 'signup' THEN 'system' END AS role,
+       event_type || ' ' || props AS text,
+       CASE WHEN event_type IN ('purchase','error') THEN 'tool_' || event_type END AS tool,
+       ts,
+       event_id
+FROM events
+"""
+
+
+def _turn_struct(prefix: str = "") -> "F.Column":
+    return F.struct(
+        F.col(f"{prefix}conv_id").alias("conv_id"),
+        F.col(f"{prefix}turn_idx").alias("turn_idx"),
+        F.col(f"{prefix}role").alias("role"),
+        F.col(f"{prefix}text").alias("text"),
+        F.col(f"{prefix}tool").alias("tool"),
+        F.col(f"{prefix}ts").alias("ts"),
+    )
+
+
+def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-dialect changelog (F2): op/before/after/source/seq.
+
+    One DataFrame pass per op class, unioned; each branch is pure Column
+    logic (whole-stage codegen, no Python). ``seq`` = epoch-millis change
+    order; updates land +60s, deletes +120s after the base op, so
+    last-writer-wins materialization has a total order per key.
+    """
+    t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 != 3)
+    seq0 = F.unix_millis(F.col("ts"))
+    edited = F.concat(F.col("text"), F.lit(" [edited]"))
+    src = F.struct(
+        F.lit("transcripts").alias("db"), F.lit("turns").alias("table")
+    )
+
+    base = t.select(
+        F.when(F.col("turn_idx") < 3, F.lit("r")).otherwise(F.lit("c")).alias("op"),
+        _turn_struct().alias("after"),
+        src.alias("source"),
+        seq0.alias("seq"),
+    )
+    # before is null for r/c — typed to the same struct as `after`
+    base = base.select(
+        "op",
+        F.lit(None).cast(base.schema["after"].dataType).alias("before"),
+        "after",
+        "source",
+        "seq",
+    )
+
+    upd = t.where(F.col("event_id") % 10 == 7)
+    updates = upd.select(
+        F.lit("u").alias("op"),
+        _turn_struct().alias("before"),
+        F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            edited.alias("text"),
+            F.col("tool"),
+            F.col("ts"),
+        ).alias("after"),
+        src.alias("source"),
+        (seq0 + 60000).alias("seq"),
+    )
+
+    dele = t.where(F.col("event_id") % 50 == 13)
+    deletes = dele.select(
+        F.lit("d").alias("op"),
+        F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            F.when(F.col("event_id") % 10 == 7, edited)
+            .otherwise(F.col("text"))
+            .alias("text"),
+            F.col("tool"),
+            F.col("ts"),
+        ).alias("before"),
+        F.lit(None).cast(updates.schema["after"].dataType).alias("after"),
+        src.alias("source"),
+        (seq0 + 120000).alias("seq"),
+    )
+
+    return base.unionByName(updates).unionByName(deletes)
+
+
+MYSQL_CHANGELOG_SQL = """
+WITH t AS ({transcripts} ),
+     f AS (SELECT * FROM t WHERE event_id % 7 != 3)
+SELECT CASE WHEN turn_idx < 3 THEN 'r' ELSE 'c' END AS op,
+       NULL AS before_text, text AS after_text,
+       conv_id, turn_idx, role, tool, ts,
+       epoch_ms(ts) AS seq
+FROM f
+UNION ALL
+SELECT 'u', text, text || ' [edited]', conv_id, turn_idx, role, tool, ts,
+       epoch_ms(ts) + 60000
+FROM f WHERE event_id % 10 = 7
+UNION ALL
+SELECT 'd',
+       CASE WHEN event_id % 10 = 7 THEN text || ' [edited]' ELSE text END,
+       NULL, conv_id, turn_idx, role, tool, ts,
+       epoch_ms(ts) + 120000
+FROM f WHERE event_id % 50 = 13
+""".format(transcripts=TRANSCRIPTS_SQL)
+
+
+def mongo_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mongo-oplog-dialect feed (F3): operationType + fullDocument with
+    extended-JSON scalars (`_id.oid`, `create_time.date` epoch millis),
+    mirroring UserReviewBehaviorDebeziumDeserializer.java:44-52."""
+    t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 == 3)
+    return t.select(
+        F.lit("INSERT").alias("operationType"),
+        F.struct(
+            F.struct(
+                F.concat(F.col("conv_id"), F.lit("#"), F.col("turn_idx")).alias(
+                    "oid"
+                )
+            ).alias("_id"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            F.col("text"),
+            F.col("tool"),
+            F.struct(F.unix_millis(F.col("ts")).alias("date")).alias(
+                "create_time"
+            ),
+        ).alias("fullDocument"),
+    )
+
+
+MONGO_CHANGELOG_SQL = """
+WITH t AS ({transcripts} )
+SELECT 'INSERT' AS operationType,
+       conv_id || '#' || CAST(turn_idx AS VARCHAR) AS oid,
+       conv_id, turn_idx, role, text, tool,
+       epoch_ms(ts) AS create_time_ms
+FROM t WHERE event_id % 7 = 3
+""".format(transcripts=TRANSCRIPTS_SQL)

@@ -1,0 +1,202 @@
+"""Unit tests for CDC derivation quirks (reference-parity semantics) on
+hand-built envelopes — the transcript analogs of the D2/D5/D7/D9 quirks
+documented in SURVEY.md §2.2."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+
+TURN = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+ENV = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("before", TURN),
+        StructField("after", TURN),
+        StructField(
+            "source",
+            StructType(
+                [StructField("db", StringType()), StructField("table", StringType())]
+            ),
+        ),
+        StructField("seq", LongType()),
+    ]
+)
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+SRC = ("transcripts", "turns")
+
+
+def turn(cid="c1", idx=0, role="user", text="hi", tool=None, ts=T0):
+    return (cid, idx, role, text, tool, ts)
+
+
+def env_df(spark, rows):
+    return spark.createDataFrame(rows, ENV)
+
+
+def kinds(df):
+    return sorted(
+        (r["turn_idx"], r["event_kind"]) for r in df.collect()
+    )
+
+
+def test_insert_emits_role_kind(spark):
+    df = env_df(
+        spark,
+        [
+            ("c", None, turn(idx=0, role="user"), SRC, 1),
+            ("r", None, turn(idx=1, role="assistant"), SRC, 2),
+            ("c", None, turn(idx=2, role="system"), SRC, 3),
+        ],
+    )
+    assert kinds(cdc.derive_turn_events(df)) == [(0, 1), (1, 2), (2, 4)]
+
+
+def test_tool_turn_multi_emit_pair(spark):
+    # D2 analog (ORDER+PAY pair): tool turn with text → tool_turn AND
+    # tool_result; with null text → tool_turn only.
+    df = env_df(
+        spark,
+        [
+            ("c", None, turn(idx=0, role="tool", text="out", tool="t"), SRC, 1),
+            ("c", None, turn(idx=1, role="tool", text=None, tool="t"), SRC, 2),
+            # D2 op='u' PAY branch analog: update to a tool turn pairs too
+            (
+                "u",
+                turn(idx=2, role="tool", text="a", tool="t"),
+                turn(idx=2, role="tool", text="b", tool="t"),
+                SRC,
+                3,
+            ),
+        ],
+    )
+    assert kinds(cdc.derive_turn_events(df)) == [
+        (0, 3),
+        (0, 5),
+        (1, 3),
+        (2, 3),
+        (2, 5),
+    ]
+
+
+def test_update_quirk_emits_base_kind_only_on_change(spark):
+    # D5 analog: op='u' emits the BASE kind (not an edit kind), and only
+    # when text changed (UserBehaviorDebeziumDeserializer.java:244-264).
+    before = turn(idx=0, role="user", text="a")
+    df = env_df(
+        spark,
+        [
+            ("u", before, turn(idx=0, role="user", text="b"), SRC, 1),
+            ("u", before, turn(idx=1, role="user", text="a"), SRC, 2),
+        ],
+    )
+    # row 1 text unchanged vs before → no emit (but turn_idx differs is ok:
+    # comparison is on text only, matching the delete_status-only guard)
+    out = cdc.derive_turn_events(df)
+    assert kinds(out) == [(0, 1)]
+
+
+def test_delete_and_null_ts_dropped(spark):
+    # deletes ignored at derivation (reference never handles op='d');
+    # null event-time dropped (D9 swallowed-NPE semantics).
+    df = env_df(
+        spark,
+        [
+            ("d", turn(idx=0), None, SRC, 1),
+            ("c", None, turn(idx=1, ts=None), SRC, 2),
+            ("c", None, turn(idx=2, role="alien"), SRC, 3),  # unknown role (D1)
+        ],
+    )
+    assert cdc.derive_turn_events(df).count() == 0
+
+
+def test_pandas_path_equivalence(spark):
+    rows = [
+        ("c", None, turn(idx=0, role="tool", text="x", tool="t"), SRC, 1),
+        ("u", turn(idx=1, text="a"), turn(idx=1, text="b"), SRC, 2),
+        ("d", turn(idx=2), None, SRC, 3),
+        ("c", None, turn(idx=3, ts=None), SRC, 4),
+        ("r", None, turn(idx=4, role="assistant"), SRC, 5),
+    ]
+    df = env_df(spark, rows)
+    a = sorted(map(tuple, cdc.derive_turn_events(df).collect()))
+    b = sorted(map(tuple, cdc.derive_turn_events_pandas(df).collect()))
+    assert a == b
+
+
+def test_apply_changelog_lww_and_delete(spark):
+    t1, t2 = T0, T0 + dt.timedelta(minutes=1)
+    df = env_df(
+        spark,
+        [
+            ("c", None, turn(idx=0, text="v1", ts=t1), SRC, 100),
+            ("u", turn(idx=0, text="v1"), turn(idx=0, text="v2", ts=t2), SRC, 200),
+            ("c", None, turn(idx=1, text="gone"), SRC, 100),
+            ("d", turn(idx=1, text="gone"), None, SRC, 200),
+            # same-seq tie: delete outranks insert (binlog-order surrogate)
+            ("c", None, turn(idx=2, text="tie"), SRC, 300),
+            ("d", turn(idx=2, text="tie"), None, SRC, 300),
+        ],
+    )
+    out = {r["turn_idx"]: r["text"] for r in cdc.apply_changelog(df).collect()}
+    assert out == {0: "v2"}
+
+
+def test_mongo_insert_only_case_insensitive(spark):
+    mongo_schema = StructType(
+        [
+            StructField("operationType", StringType()),
+            StructField(
+                "fullDocument",
+                StructType(
+                    [
+                        StructField(
+                            "_id", StructType([StructField("oid", StringType())])
+                        ),
+                        StructField("conv_id", StringType()),
+                        StructField("turn_idx", IntegerType()),
+                        StructField("role", StringType()),
+                        StructField("text", StringType()),
+                        StructField("tool", StringType()),
+                        StructField(
+                            "create_time",
+                            StructType([StructField("date", LongType())]),
+                        ),
+                    ]
+                ),
+            ),
+        ]
+    )
+    doc = (("x",), "c9", 0, "user", "hello", None, (1700000000000,))
+    df = spark.createDataFrame(
+        [("INSERT", doc), ("Insert", doc), ("update", doc), ("delete", doc)],
+        mongo_schema,
+    )
+    out = cdc.normalize_mongo(df)
+    assert out.count() == 2
+    row = out.first()
+    assert row["op"] == "c" and row["_kind_override"] == 10
+    ev = cdc.derive_turn_events(out)
+    assert sorted(r["event_kind"] for r in ev.collect()) == [10, 10]
