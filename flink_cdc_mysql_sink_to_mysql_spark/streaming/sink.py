@@ -1,0 +1,203 @@
+"""Idempotent exactly-once MERGE upsert sink.
+
+The reference's sink is an at-least-once batched JDBC INSERT
+(UserBehaviorClickHouseSinkJob.java:67-95 — batch 1000, flush 200 ms,
+5 retries, dedup delegated to the ClickHouse table engine). The north
+rule upgrades this to an **exactly-once upsert**: replayable source +
+deterministic derivation + idempotent MERGE keyed on the natural key
+(conv_id, turn_idx).
+
+This module is a storage shim with Iceberg MERGE semantics over plain
+parquet (the sandbox has no Iceberg jars — SURVEY.md §7 "hard parts").
+Layout:
+
+    root/
+      _manifest.json          # {"buckets": {"17": "v3-5/bucket=17"}, ...}
+      v3-5/bucket=17/part-*.parquet   # one versioned dir per commit
+
+- rows are hash-bucketed on conv_id (pmod(xxhash64(conv_id), n_buckets));
+  a MERGE only rewrites buckets the batch touches — the same
+  copy-on-write scoping Iceberg gets from partition pruning, so commit
+  cost scales with batch size, not table size.
+- the manifest swap is a single atomic os.replace: readers see either
+  the old or the new snapshot, never a torn one.
+- MERGE itself is last-writer-wins on (seq, op_rank): replaying any
+  suffix of the changelog (foreachBatch re-runs after failure) is a
+  provable no-op, which is what turns at-least-once delivery into an
+  exactly-once table.
+
+At cluster scale the same algorithm runs with n_buckets sized so each
+bucket is a few hundred MB; the per-batch work is (read touched
+buckets) + (hash agg) + (write touched buckets) — all distributed, no
+driver-side row handling.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "_manifest.json"
+LINEAGE = "_lineage.jsonl"
+
+
+def _op_rank():
+    return (
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .when(F.col("op") == "c", 1)
+        .otherwise(0)
+    )
+
+
+@dataclass
+class MergeParquetSink:
+    """MERGE INTO-style upsert table keyed on (conv_id, turn_idx)."""
+
+    root: str
+    n_buckets: int = 32
+    _version: int = field(default=0, init=False)
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, MANIFEST)
+
+    def _load_manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"version": 0, "epochs": [], "buckets": {}}
+
+    def _commit_manifest(self, manifest: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # atomic snapshot swap
+
+    # -- read --------------------------------------------------------------
+    _SCHEMA = (
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp, seq long, op string"
+    )
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Current snapshot as a DataFrame (empty if never committed)."""
+        manifest = self._load_manifest()
+        return self._read_paths(spark, list(manifest["buckets"].values()))
+
+    def _read_paths(self, spark: SparkSession, rels: list[str]) -> DataFrame:
+        if not rels:
+            return spark.createDataFrame([], self._SCHEMA)
+        files = [os.path.join(self.root, r) for r in rels]
+        return spark.read.schema(self._SCHEMA).parquet(*files)
+
+    def _read_buckets(self, spark: SparkSession, buckets: list[int]) -> DataFrame | None:
+        manifest = self._load_manifest()
+        rels = [
+            manifest["buckets"][str(b)]
+            for b in buckets
+            if str(b) in manifest["buckets"]
+        ]
+        if not rels:
+            return None
+        return self._read_paths(spark, rels)
+
+    # -- merge -------------------------------------------------------------
+    def merge_changelog(self, batch: DataFrame, epoch_id: int) -> dict:
+        """MERGE a micro-batch of envelope rows into the table.
+
+        WHEN MATCHED AND newer → UPDATE/DELETE; WHEN NOT MATCHED → INSERT —
+        expressed as a keyed LWW hash-aggregation over (current ∪ delta),
+        restricted to the buckets the delta touches.
+
+        Idempotent: re-running any epoch (or any overlap of epochs)
+        converges to the same snapshot because winners are chosen by
+        (seq, op_rank), never by arrival time. Returns per-epoch lineage
+        {epoch, buckets, delta_rows, merged_rows, wall_s}.
+        """
+        spark = batch.sparkSession
+        t0 = time.time()
+        manifest = self._load_manifest()
+        if epoch_id in manifest["epochs"]:
+            # exact epoch replay (foreachBatch restart) — already committed
+            return {"epoch": epoch_id, "skipped": True}
+
+        delta = batch.select(
+            F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias(
+                "conv_id"
+            ),
+            F.coalesce(F.col("after.turn_idx"), F.col("before.turn_idx"))
+            .cast("int")
+            .alias("turn_idx"),
+            F.col("after.role").alias("role"),
+            F.col("after.text").alias("text"),
+            F.col("after.tool").alias("tool"),
+            F.col("after.ts").alias("ts"),
+            F.col("seq").cast("long").alias("seq"),
+            F.col("op"),
+        ).withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
+        )
+        delta = delta.where(F.col("conv_id").isNotNull()).cache()
+        delta_rows = delta.count()
+        touched = [r["bucket"] for r in delta.select("bucket").distinct().collect()]
+
+        current = self._read_buckets(spark, touched)
+        if current is not None:
+            # bucket is a partition dir, not a stored column — recompute
+            current = current.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
+            )
+        merged_src = delta if current is None else current.unionByName(delta)
+
+        # Single keyed LWW aggregation; delete winners are KEPT as
+        # tombstones (filtered at snapshot()) so that an out-of-order
+        # replay of an older insert can never resurrect a deleted row —
+        # the tombstone's (seq, op_rank) still outranks it.
+        ord_col = (F.col("seq") * 4 + _op_rank()).alias("ord")
+        out = (
+            merged_src.withColumn("ord", ord_col)
+            .groupBy("conv_id", "turn_idx")
+            .agg(F.max_by(F.struct(merged_src.columns), "ord").alias("w"))
+            .select("w.*")
+        )
+
+        # ONE distributed write for all touched buckets (partition-pruned
+        # rewrite — commit cost ∝ batch footprint, not table size).
+        new_version = manifest["version"] + 1
+        verdir = f"v{new_version}-{epoch_id}"
+        out.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(os.path.join(self.root, verdir))
+        for b in touched:
+            manifest["buckets"][str(b)] = f"{verdir}/bucket={b}"
+        delta.unpersist()
+
+        manifest["version"] = new_version
+        manifest["epochs"] = sorted(set(manifest["epochs"]) | {epoch_id})[-1000:]
+        self._commit_manifest(manifest)
+        lineage = {
+            "epoch": int(epoch_id),
+            "buckets": [int(b) for b in sorted(touched)],
+            "delta_rows": int(delta_rows),
+            "buckets_rewritten": len(touched),
+            "wall_s": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(self.root, LINEAGE), "a") as f:
+            f.write(json.dumps(lineage) + "\n")
+        return lineage
+
+    # -- materialized view -------------------------------------------------
+    def snapshot(self, spark: SparkSession) -> DataFrame:
+        """Live rows only (tombstones filtered)."""
+        return self.read(spark).where(F.col("op") != "d").drop("op", "seq")

@@ -1,0 +1,130 @@
+"""Streaming pipeline tests: exactly-once MERGE sink, checkpoint
+resume, epoch-replay idempotence, watermarked windows + late-data drop.
+(SURVEY.md §5.2 items 2–4.)"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+from flink_cdc_mysql_sink_to_mysql_spark.sources import mysql_changelog
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+SF = "/root/testdata/sf0.001"
+
+
+def rows_of(df):
+    return sorted(
+        map(
+            tuple,
+            df.select(
+                "conv_id", "turn_idx", "role", "text", "tool",
+                F.unix_millis("ts").alias("ts_ms"),
+            ).collect(),
+        )
+    )
+
+
+@pytest.fixture()
+def golden(spark):
+    env = mysql_changelog(spark, SF)
+    return rows_of(cdc.apply_changelog(env))
+
+
+def test_stream_matches_batch_golden(spark, tmp_path, golden):
+    env = mysql_changelog(spark, SF)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=4)
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    lineage = str(tmp_path / "lineage.jsonl")
+    pl.materialize_stream(
+        spark, spool, sink, str(tmp_path / "ckpt"), lineage_path=lineage
+    )
+    assert rows_of(sink.snapshot(spark)) == golden
+    # per-microbatch lineage was recorded (4 chunks → ≥4 batches)
+    recs = [json.loads(l) for l in open(lineage)]
+    assert len(recs) >= 4
+    assert sum(r["numInputRows"] for r in recs) == env.count()
+    assert all(r["observed"]["rows"] == r["numInputRows"] for r in recs if r["observed"])
+    # sink-side lineage too
+    sink_lineage = [
+        json.loads(l) for l in open(os.path.join(sink.root, "_lineage.jsonl"))
+    ]
+    assert sum(r["delta_rows"] for r in sink_lineage) == env.count()
+
+
+def test_checkpoint_resume(spark, tmp_path, golden):
+    env = mysql_changelog(spark, SF).orderBy("seq")
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    half = env.count() // 2
+    first = env.limit(half)
+    rest = env.subtract(first)
+    pl.spool_dataframe(first, spool, "a.parquet")
+
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    ckpt = str(tmp_path / "ckpt")
+    pl.materialize_stream(spark, spool, sink, ckpt, max_files_per_trigger=None)
+    n_after_first = sink.snapshot(spark).count()
+    assert 0 < n_after_first < len(golden) + 50  # partial state exists
+
+    # "restart": second run, same checkpoint, new data arrived
+    pl.spool_dataframe(rest, spool, "b.parquet")
+    pl.materialize_stream(spark, spool, sink, ckpt, max_files_per_trigger=None)
+    assert rows_of(sink.snapshot(spark)) == golden
+
+    # third run with NOTHING new — must be a no-op (no duplicate effects)
+    pl.materialize_stream(spark, spool, sink, ckpt, max_files_per_trigger=None)
+    assert rows_of(sink.snapshot(spark)) == golden
+
+
+def test_epoch_replay_is_noop(spark, tmp_path, golden):
+    env = mysql_changelog(spark, SF)
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    out1 = sink.merge_changelog(env, epoch_id=0)
+    assert not out1.get("skipped")
+    before = rows_of(sink.snapshot(spark))
+    # foreachBatch re-delivers the same epoch after a crash → skipped
+    out2 = sink.merge_changelog(env, epoch_id=0)
+    assert out2.get("skipped")
+    # and even a *forced* re-merge under a new epoch converges (LWW)
+    sink.merge_changelog(env, epoch_id=1)
+    assert rows_of(sink.snapshot(spark)) == before == golden
+
+
+def test_windowed_stream_with_late_drop(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def envelope(idx, minute, text="x"):
+        ts = t0 + dt.timedelta(minutes=minute)
+        turn = ("cw", idx, "user", text, None, ts)
+        return ("c", None, turn, ("transcripts", "turns"), idx)
+
+    schema = pl.ENVELOPE_DDL
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # batch 1: turns at minutes 0..9 (window A) and 200 (advances watermark
+    # to 200 - 30 = minute 170 » window A's end)
+    batch1 = [envelope(i, i) for i in range(10)] + [envelope(99, 200)]
+    pl.spool_dataframe(spark.createDataFrame(batch1, schema), spool, "a.parquet")
+    pl.windowed_counts_stream(spark, spool, out, ckpt)
+
+    # batch 2: a LATE turn for window A (minute 5) — beyond the watermark,
+    # must be dropped, window A already finalized with count 10
+    pl.spool_dataframe(spark.createDataFrame([envelope(100, 5)], schema), spool, "b.parquet")
+    pl.windowed_counts_stream(spark, spool, out, ckpt)
+
+    res = {
+        (r["win_start"].isoformat(), r["conv_id"]): r["n_turns"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert res[("2024-01-01T00:00:00", "cw")] == 10  # late row NOT counted
