@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cdc
+from .operators import cdc, cohort, joins, windows
 from .sources import transcripts as _src_mod  # noqa: F401
 from .sources.transcripts import (
     MONGO_CHANGELOG_SQL,
@@ -224,3 +224,159 @@ def q_turn_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sink_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _turn_events_df(spark, sf_dir)
     return cdc.sink_rows(ev).drop("partition_id")
+
+
+# ---------------------------------------------------------------------------
+# 5. windows: tumbling / sliding / session (north-rule operators)
+# ---------------------------------------------------------------------------
+
+def _turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts(spark, sf_dir).drop("event_id")
+
+
+@register(
+    "window_tumbling",
+    oracle=f"""
+    WITH t AS ({TRANSCRIPTS_SQL})
+    SELECT CAST(floor(epoch_ms(ts) / 600000) AS BIGINT) * 600000 AS win_start_ms,
+           CAST(floor(epoch_ms(ts) / 600000) AS BIGINT) * 600000 + 600000 AS win_end_ms,
+           conv_id, COUNT(*) AS n_turns,
+           SUM(CAST(length(text) AS DECIMAL(18,2))) AS sum_len
+    FROM t GROUP BY 1, 2, 3
+    """,
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.tumbling_counts(_turns(spark, sf_dir))
+
+
+@register(
+    "window_sliding",
+    oracle=f"""
+    WITH t AS ({TRANSCRIPTS_SQL})
+    SELECT CAST(floor(epoch_ms(ts) / 300000) AS BIGINT) * 300000
+             - k.k * 300000 AS win_start_ms,
+           conv_id, COUNT(*) AS n_turns
+    FROM t CROSS JOIN (VALUES (0), (1)) AS k(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.sliding_counts(_turns(spark, sf_dir))
+
+
+@register(
+    "window_session",
+    oracle=f"""
+    WITH t AS ({TRANSCRIPTS_SQL}),
+    o AS (SELECT conv_id, turn_idx, epoch_ms(ts) AS e FROM t),
+    m AS (SELECT *, CASE WHEN lag(e) OVER w IS NULL
+                         OR e - lag(e) OVER w > 1800000 THEN 1 ELSE 0 END AS new_s
+          FROM o WINDOW w AS (PARTITION BY conv_id ORDER BY e, turn_idx)),
+    s AS (SELECT *, SUM(new_s) OVER (PARTITION BY conv_id ORDER BY e, turn_idx
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM m)
+    SELECT MIN(e) AS sess_start_ms, MAX(e) + 1800000 AS sess_end_ms, conv_id,
+           COUNT(*) AS n_turns, MIN(turn_idx) AS first_turn,
+           MAX(turn_idx) AS last_turn
+    FROM s GROUP BY conv_id, sid
+    """,
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_windows(_turns(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 6. user→assistant/tool turn joins (stream-stream join, batch analog)
+# ---------------------------------------------------------------------------
+
+_PAIRS_ORACLE = f"""
+WITH t AS ({TRANSCRIPTS_SQL})
+SELECT u.conv_id AS conv_id, u.turn_idx AS u_idx, a.turn_idx AS a_idx,
+       a.role AS a_role, epoch_ms(a.ts) - epoch_ms(u.ts) AS latency_ms
+FROM t u JOIN t a
+  ON u.conv_id = a.conv_id AND u.role = 'user'
+ AND a.role IN ('assistant', 'tool')
+ AND a.ts > u.ts AND a.ts <= u.ts + INTERVAL 30 MINUTE
+"""
+
+
+@register("join_user_responses", oracle=_PAIRS_ORACLE)
+def q_join_user_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.user_turn_responses(_turns(spark, sf_dir))
+
+
+@register(
+    "join_first_response",
+    oracle=f"""
+    WITH pairs AS ({_PAIRS_ORACLE})
+    SELECT conv_id, u_idx, a_idx, a_role, latency_ms FROM (
+      SELECT *, row_number() OVER (PARTITION BY conv_id, u_idx
+                                   ORDER BY latency_ms, a_idx) AS rn
+      FROM pairs) WHERE rn = 1
+    """,
+)
+def q_join_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.first_response(_turns(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 7. cohorts (reference job 3: R1-R6 rule compiler)
+# ---------------------------------------------------------------------------
+
+COHORT_NOW = "2024-01-30 00:00:00"
+
+# nontrivial rules against the synthetic data (the reference's verbatim
+# fixture rules are unit-tested in tests/test_cohort.py)
+RULE_EXIST = cohort.CohortRule(
+    target=1,  # → assistant turns (kind 2)
+    is_exist=True,
+    value_days=14,
+    sub_params=(
+        cohort.SubParam(2, 2, 2),      # COUNT(*) >= 2
+        cohort.SubParam(1, 0, 100),    # SUM(metric) > 100
+        cohort.SubParam(3, 3, 5000),   # MAX(metric) <= 5000
+    ),
+)
+RULE_NOT_EXIST = cohort.CohortRule(target=3, is_exist=False, value_days=1)
+RULE_UNMAPPED = cohort.CohortRule(target=4, is_exist=True, value_days=14)  # quirk
+
+
+def _events_for_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _turn_events_df(spark, sf_dir)
+
+
+_EVENTS_REL = f"SELECT *, to_timestamp(ts_ms / 1000.0) AS ts FROM ({TURN_EVENTS_ORACLE})"
+_MEMBERS_REL = f"SELECT DISTINCT conv_id FROM ({TRANSCRIPTS_SQL})"
+
+
+@register(
+    "cohort_exist",
+    oracle=cohort.rule_to_sql(RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW),
+)
+def q_cohort_exist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort.exist_conv_ids(
+        _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
+    )
+
+
+@register(
+    "cohort_not_exist",
+    oracle=cohort.rule_to_sql(
+        RULE_NOT_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW
+    ),
+)
+def q_cohort_not_exist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    members = _turns(spark, sf_dir).select("conv_id").distinct()
+    return cohort.not_exist_conv_ids(
+        members, _events_for_cohort(spark, sf_dir), RULE_NOT_EXIST, COHORT_NOW
+    )
+
+
+@register(
+    "cohort_unmapped_target_quirk",
+    oracle=cohort.rule_to_sql(RULE_UNMAPPED, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW),
+)
+def q_cohort_unmapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort.exist_conv_ids(
+        _events_for_cohort(spark, sf_dir), RULE_UNMAPPED, COHORT_NOW
+    )

