@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a ``noop``-format write (full physical
+execution, no driver collect bottleneck, no disk write skew) — the same way
+a production job would be bounded by the sink, not by ``toPandas``.
+
+Set ``SPARK_GRAFT_BENCH_SCALING=1`` to also report the changelog-apply
+throughput at two parallelism levels (N and 4N cores) and the scaling
+efficiency — the BASELINE.json north-rule criterion (no real cluster in
+this sandbox; two local parallelism levels stand in for two cluster sizes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_cdc_mysql_sink_to_mysql_spark import entry_queries  # noqa: E402
+from flink_cdc_mysql_sink_to_mysql_spark.session import get_spark  # noqa: E402
+
+# Headline set: the flagship CDC pipeline + one representative per operator
+# family (events, windows, joins, cohorts, dedup, similarity, text).
+HEADLINE = [
+    "cdc_apply_upsert",
+    "turn_events",
+    "turn_events_pandas",
+    "sink_rows",
+    "window_tumbling",
+    "window_session",
+    "join_first_response",
+    "cohort_exist",
+    "cohort_not_exist",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan; return row count via observed metrics-free path."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run(sf_dir: str, cpus: int) -> dict:
+    spark = get_spark(app_name="bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_queries.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footer cache once (excluded from timings)
+    qs[names[0]](spark, sf_dir).limit(1).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def run_scaling(sf_dir: str, cpus_hi: int) -> dict:
+    """Changelog-apply throughput at N vs 4N cores (north-rule evidence)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import (
+        measure_scaling,
+    )
+
+    return measure_scaling(sf_dir, cpus_lo=max(cpus_hi // 4, 1), cpus_hi=cpus_hi)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    times = run(sf_dir, cpus)
+    out = {
+        "metric": "headline_query_wall_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
+        out["scaling"] = run_scaling(sf_dir, cpus)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

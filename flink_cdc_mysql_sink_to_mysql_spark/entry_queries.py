@@ -20,7 +20,16 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators import cdc, cohort, joins, windows
+from .functions import text as textfn
+from .operators import (
+    cdc,
+    cohort,
+    dedup,
+    joins,
+    multimodal,
+    similarity,
+    windows,
+)
 from .sources import transcripts as _src_mod  # noqa: F401
 from .sources.transcripts import (
     MONGO_CHANGELOG_SQL,
@@ -379,4 +388,121 @@ def q_cohort_not_exist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cohort_unmapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort.exist_conv_ids(
         _events_for_cohort(spark, sf_dir), RULE_UNMAPPED, COHORT_NOW
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. text analysis (training-data pipeline: lang-ID, quality, tokens, fp)
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@register("text_profile", oracle=textfn.text_profile_sql("documents"))
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.text_profile(_docs(spark, sf_dir))
+
+
+@register("text_fingerprints", oracle=textfn.fingerprints_sql("documents"))
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.fingerprints(_docs(spark, sf_dir))
+
+
+# a quality-filter view: the canonical "keep the good docs" pipeline stage
+@register(
+    "text_quality",
+    oracle=f"""
+    WITH p AS ({textfn.text_profile_sql('documents')})
+    SELECT doc_id, n_bpe_tokens, quality_score, lang_pred
+    FROM p WHERE quality_score >= 60 AND n_words >= 20
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = textfn.text_profile(_docs(spark, sf_dir))
+    return p.where((F.col("quality_score") >= 60) & (F.col("n_words") >= 20)).select(
+        "doc_id", "n_bpe_tokens", "quality_score", "lang_pred"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 9. deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding)
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", oracle=dedup.exact_dedup_sql("documents"))
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register("dedup_jaccard_ngram", oracle=dedup.jaccard_pairs_sql("documents"))
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.jaccard_pairs(_docs(spark, sf_dir))
+
+
+# LSH plan, brute-force oracle: identical rows given the banding recall
+# bound (1-(1-j^2)^8 ≈ 1 at the planted pairs' j≥0.9 — see dedup.py).
+@register("dedup_minhash_lsh", oracle=dedup.minhash_lsh_pairs_sql("documents"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+@register("dedup_simhash", oracle=dedup.simhash_sql("documents"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+# banded-join plan, O(n²) oracle: pigeonhole-exact equivalence (dedup.py)
+@register("dedup_simhash_pairs", oracle=dedup.simhash_pairs_sql("documents"))
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=dedup.embedding_near_dup_sql("embeddings"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 10. similarity search (brute-force cosine top-k; LSH-bucketed ANN)
+# ---------------------------------------------------------------------------
+
+@register("ann_cosine_topk", oracle=similarity.cosine_topk_sql("embeddings"))
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk(_emb(spark, sf_dir))
+
+
+@register("ann_lsh_topk", oracle=similarity.lsh_topk_sql("embeddings"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_topk(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 11. multimodal plumbing (binary media columns + mapInPandas stages)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features", oracle=multimodal.media_features_sql("documents"))
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.media_features(
+        multimodal.media_table(_docs(spark, sf_dir))
+    )
+
+
+@register("multimodal_frame_sample", oracle=multimodal.frame_sample_sql("documents"))
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.frame_sample(
+        multimodal.media_table(_docs(spark, sf_dir))
+    )
+
+
+@register("multimodal_decode_fake", oracle=multimodal.decode_fake_sql("documents"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.decode_image(
+        multimodal.media_table(_docs(spark, sf_dir)), fake=True
     )

@@ -1,0 +1,234 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Language-ID (stopword n-gram heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting — over the
+``documents`` table. The reference has no text functions at all (SURVEY.md
+§2.7: "No math beyond comparison, no regex"); these are the
+training-data-pipeline extensions the rebuild adds as first-class
+operators.
+
+Design rules (cross-engine exactness — every query here carries a DuckDB
+oracle):
+
+- **All scores are integer arithmetic** (counts, permilles via
+  floor(1000*a/b)) — bit-exact in any engine; no float rounding-mode
+  hazards.
+- **Everything is pure Column expressions** — whole-stage codegen, no
+  Python in the hot path. At 100 TB this is a single narrow map stage:
+  no shuffle, filters push down to the parquet/Iceberg scan, and the
+  projection prunes to (doc_id, text) only.
+- Spark code and the adjacent SQL fragment builders stay in lockstep (the
+  same pattern as sources/transcripts.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed stopword dictionaries (public, common function words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est", "ne", "une"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "es", "sich", "nicht"],
+}
+LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic argmax tie-break
+
+# BPE-ish token regex: letter runs, single digits, single punctuation —
+# a public GPT-2-style simplification that is identical under Java regex
+# (Spark) and RE2 (DuckDB).
+BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+PUNCT_REGEX = r"[^A-Za-z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def _permille(num: Column, den: Column) -> Column:
+    """floor(1000*num/den) as int — exact cross-engine (see module doc)."""
+    return F.floor(num * 1000 / den).cast("int")
+
+
+def _stop_hits(w: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
+
+
+def text_profile(docs: DataFrame) -> DataFrame:
+    """Per-document token counts, quality score, and language ID.
+
+    One narrow projection over (doc_id, text): at 10^12 docs this is a
+    pure map stage — no shuffle, scan-pruned to two columns.
+    """
+    t = F.col("text")
+    w = words(t)
+    n_words = F.size(w).alias("n_words")
+    n_chars = F.length(t)
+    sum_wlen = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+
+    hits = {lang: _stop_hits(w, lang) for lang in LANG_PRIORITY}
+    # deterministic argmax with LANG_PRIORITY tie-break; all-zero → 'und'.
+    # Per-arm conditions are mutually exclusive (strict > vs >= encodes
+    # the priority tie-break), so arm evaluation order is irrelevant —
+    # the SQL oracle relies on this.
+    pred = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = (
+                hits[lang] > hits[other]
+                if LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang)
+                else hits[lang] >= hits[other]
+            )
+            cond = c if cond is None else (cond & c)
+        pred = F.when((hits[lang] > 0) & cond, F.lit(lang)).otherwise(pred)
+
+    stop_hits_total = sum(hits.values(), F.lit(0))
+    punct_cnt = F.regexp_count(t, F.lit(PUNCT_REGEX))
+    nw = F.size(w)
+    # NB: floor() is explicit on both engines — DuckDB CASTs double→int by
+    # rounding-to-nearest while Spark truncates, so a bare cast diverges.
+    stop_pct = F.least(
+        F.floor(_permille(stop_hits_total, nw) / F.lit(10)).cast("int"),
+        F.lit(30),
+    )
+    punct_pct = F.least(
+        F.floor(_permille(punct_cnt, n_chars) / F.lit(10)).cast("int"),
+        F.lit(30),
+    )
+    quality = F.least(nw, F.lit(40)) + stop_pct + (F.lit(30) - punct_pct)
+
+    return docs.select(
+        "doc_id",
+        n_words,
+        n_chars.alias("n_chars"),
+        F.regexp_count(t, F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        _permille(sum_wlen, nw).alias("avg_wlen_x1000"),
+        _permille(stop_hits_total, nw).alias("stop_permille"),
+        _permille(punct_cnt, n_chars).alias("punct_permille"),
+        quality.cast("int").alias("quality_score"),
+        pred.alias("lang_pred"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprints: whole-doc hash + minimum shingle hash.
+
+    - ``fp`` — md5 of the whitespace-normalized lowercased text (exact-dup
+      key; the rolling-hash analog with a cross-engine-stable hash).
+    - ``min_shingle_fp`` — min over word-3-shingle md5s (a 1-hash MinHash;
+      winnowing-style content marker), null for docs with <3 words.
+
+    Narrow map stage; dedup consumers groupBy ``fp`` (one shuffle on a
+    16-byte key — the minimum possible for exact dedup at scale).
+    """
+    t = F.col("text")
+    norm = F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+    w = words(t)
+    sh = shingles(w, 3)
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.when(
+            F.size(w) >= 3,
+            F.array_min(F.transform(sh, lambda s: F.md5(s))),
+        ).alias("min_shingle_fp"),
+    )
+
+
+def shingles(w: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a words array (space-joined strings)."""
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, i + j) for j in range(n)]
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle fragments (lockstep with the Spark code above)
+# ---------------------------------------------------------------------------
+
+def _sql_words(t: str = "text") -> str:
+    return f"string_split_regex(trim({t}), '\\s+')"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return (
+        f"len(list_filter({_sql_words()}, x -> lower(x) IN ({lst})))"
+    )
+
+
+def _sql_permille(num: str, den: str) -> str:
+    return f"CAST(floor(({num}) * 1000.0 / ({den})) AS INTEGER)"
+
+
+def text_profile_sql(rel: str) -> str:
+    """DuckDB SQL computing exactly :func:`text_profile` over ``rel``."""
+    w = _sql_words()
+    hits = {lang: _sql_stop_hits(lang) for lang in LANG_PRIORITY}
+    total_hits = " + ".join(f"({h})" for h in hits.values())
+    # deterministic argmax, LANG_PRIORITY tie-break (same CASE order as
+    # the Spark when-chain: evaluated en → es → fr → de)
+    arms = []
+    for lang in LANG_PRIORITY:
+        conds = [f"({hits[lang]}) > 0"]
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            op = ">" if LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang) else ">="
+            conds.append(f"({hits[lang]}) {op} ({hits[other]})")
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    # reverse order in Spark builds innermost-first; CASE arms here must
+    # check later-priority langs first only if they strictly beat earlier
+    # ones — encoded in the per-arm conds, so arm order is irrelevant.
+    pred = "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+    nw = f"len({w})"
+    # 2-arg list_reduce (this DuckDB lacks the init-value overload);
+    # fold over ≥1 word is identical to Spark's 0-seeded int fold.
+    sum_wlen = f"list_reduce(list_transform({w}, x -> length(x)), (a,b) -> a+b)"
+    punct = f"len(regexp_extract_all(text, '{PUNCT_REGEX}'))"
+    quality = (
+        f"least({nw}, 40)"
+        f" + least(CAST(floor({_sql_permille(total_hits, nw)} / 10.0) AS INTEGER), 30)"
+        f" + (30 - least(CAST(floor({_sql_permille(punct, 'length(text)')} / 10.0) AS INTEGER), 30))"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST({nw} AS INTEGER) AS n_words,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(regexp_extract_all(text, '{BPE_REGEX}')) AS INTEGER) AS n_bpe_tokens,
+           {_sql_permille(sum_wlen, nw)} AS avg_wlen_x1000,
+           {_sql_permille(total_hits, nw)} AS stop_permille,
+           {_sql_permille(punct, 'length(text)')} AS punct_permille,
+           CAST({quality} AS INTEGER) AS quality_score,
+           {pred} AS lang_pred
+    FROM {rel}
+    """
+
+
+def shingles_sql(n: int = 3, words_expr: str | None = None) -> str:
+    w = words_expr or _sql_words()
+    parts = " || ' ' || ".join(f"({w})[i+{j}]" for j in range(n))
+    return f"list_transform(range(1, len({w}) - {n - 2}), i -> {parts})"
+
+
+def fingerprints_sql(rel: str) -> str:
+    sh = shingles_sql(3)
+    return f"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CASE WHEN len({_sql_words()}) >= 3
+                THEN list_min(list_transform({sh}, s -> md5(s)))
+           END AS min_shingle_fp
+    FROM {rel}
+    """

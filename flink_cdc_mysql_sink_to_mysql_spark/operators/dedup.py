@@ -1,0 +1,439 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH near-dup (shingle → minhash → band →
+bucket-join → exact-Jaccard verify), SimHash near-dup (banded Hamming
+join), and embedding-cosine near-dup. The reference engine has no dedup
+at all (its dedup is delegated to the ClickHouse table engine,
+`UserBehaviorClickHouseSinkJob.java:67-95`); these are the rebuild's
+first-class training-data extensions.
+
+Scale design (the part that matters at 100 TB):
+
+- **Exact dedup** shuffles only a 16-byte md5 key + doc_id — the minimum
+  possible; the text column is pruned before the shuffle.
+- **MinHash+LSH** never materializes the O(n²) pair space: candidates
+  come from an equi-join on (band_idx, band_key) — shuffle keys are
+  16-byte hashes, AQE skew-join splits hot buckets. The exact-Jaccard
+  verify re-joins shingle sets only for candidate pairs.
+- **SimHash** uses 4-byte banding over a 32-bit signature: pigeonhole
+  guarantees 100% recall for Hamming distance ≤ 3 (3 flipped bits cannot
+  touch all 4 bands), so the banded join is *exactly* equivalent to the
+  O(n²) scan the oracle runs — same results, linear-ish cost.
+- **Embedding near-dup** is the brute-force baseline (block-nested-loop);
+  the LSH-bucketed scale path lives in operators/similarity.py.
+
+Cross-engine exactness: minhashes are md5 strings (string-min = 128-bit
+min), Jaccard is an int/int division of set sizes, simhash is integer
+arithmetic, cosine is a fixed-order left fold in doubles — each verified
+bit-identical between Spark and DuckDB (see tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    _sql_words,
+    fingerprints_sql,  # noqa: F401  (re-export for entry_queries)
+    shingles,
+    shingles_sql,
+    words,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Group docs by normalized-text md5; keep the min doc_id per group.
+
+    One hash aggregation (map-side partial) on a 16-byte key.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def exact_dedup_sql(rel: str) -> str:
+    return f"""
+    SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           MIN(doc_id) AS keep_doc_id
+    FROM {rel}
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# shingle sets + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word n-gram shingles.
+
+    Narrow map stage; docs with <n words are dropped (no shingle mass).
+    """
+    w = words(F.col("text"))
+    return docs.where(F.size(w) >= n).select(
+        "doc_id", F.array_distinct(shingles(w, n)).alias("sh")
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_distinct(F.concat(a, b)))
+    return inter.cast("double") / union.cast("double")
+
+
+def jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.7) -> DataFrame:
+    """Brute-force n-gram Jaccard near-dup pairs (correctness baseline).
+
+    O(n²) — test-scale only; the scale path is :func:`minhash_lsh_pairs`
+    (identical output on data whose similarity distribution respects the
+    LSH recall bound, which the planted near-dups here do).
+    """
+    s = shingle_sets(docs, n)
+    a = s.alias("a")
+    b = s.alias("b")
+    jac = _jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_pairs_sql(rel: str, n: int = 3, threshold: float = 0.7) -> str:
+    sh = shingles_sql(n)
+    return f"""
+    WITH s AS (
+      SELECT doc_id, list_distinct({sh}) AS sh
+      FROM {rel}
+      WHERE len({_sql_words()}) >= {n}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+             AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+          >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the scale path for Jaccard near-dup)
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 16
+BANDS = 8  # rows per band = NUM_HASHES // BANDS = 2
+# recall for a pair at Jaccard j: 1 - (1 - j^2)^8  →  ~1-2e-6 at j=0.9
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh, sig: array<string>[NUM_HASHES]).
+
+    Hash family k = md5(shingle || '|' || k): string-min over fixed-width
+    lowercase hex == numeric min over 128-bit values, and is identical in
+    any engine — no seeded integer hash needed.
+    """
+    s = shingle_sets(docs, n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("sh"), lambda x, k=k: F.md5(F.concat(x, F.lit(f"|{k}")))
+                )
+            )
+            for k in range(NUM_HASHES)
+        ]
+    )
+    return s.select("doc_id", "sh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact-Jaccard verification.
+
+    Plan shape (the 100 TB story):
+      1. narrow map: shingles + 16 minhashes per doc
+      2. explode to BANDS rows/doc; band_key = md5(minhash row concat)
+      3. self-equi-join on (band, band_key)  ← the only wide op;
+         16-byte keys, AQE skew-join handles hot buckets
+      4. distinct candidate pairs, re-join shingle sets, exact Jaccard
+         filter ≥ threshold (no false positives; false-negative rate
+         bounded by the banding curve — see BANDS above).
+    """
+    rows = NUM_HASHES // BANDS
+    sigs = minhash_signatures(docs, n)
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "",
+                                *[
+                                    F.col("sig")[i * rows + r]
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for i in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "sh")
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("sh", "sh_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# oracle: brute force (identical output given the recall bound)
+minhash_lsh_pairs_sql = jaccard_pairs_sql
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit) + banded Hamming join
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+HAMMING_MAX = 3
+_BAND_BYTES = 4  # 4 bands × 8 bits; pigeonhole-exact for HAMMING_MAX ≤ 3
+
+
+def _word_hash(x: Column) -> Column:
+    """First 8 md5 hex chars → int64 (conv base16) — cross-engine stable."""
+    return F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("long")
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash:bigint) — 32-bit SimHash over word hashes.
+
+    Implemented as a **narrow array fold** (F.aggregate over the words
+    array accumulating 32 signed bit-counts) — zero shuffle, unlike the
+    textbook explode+groupBy form. Word multiplicity weights naturally.
+    """
+    # shift amounts are lambda-bound Columns, so shiftleft/shiftright
+    # literals don't apply — use power-of-two arithmetic instead (division
+    # by 2^j is a pure exponent shift in binary FP: exact for wh < 2^53).
+    def _pow2(j) -> Column:
+        return F.pow(F.lit(2.0), j)
+
+    w = words(F.col("text"))
+    wh_arr = F.transform(w, _word_hash)
+    contrib = F.aggregate(
+        wh_arr,
+        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
+        lambda acc, wh: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda j: (F.floor(wh / _pow2(j)).cast("long") % 2) * 2 - 1,
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    sh = F.aggregate(
+        F.zip_with(
+            contrib,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda c, j: F.when(c >= 0, _pow2(j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_sql(rel: str) -> str:
+    """DuckDB SQL computing exactly :func:`simhash` (explode+sum form —
+    same integers, different plan; the oracle need not scale)."""
+    wh_poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {i}, 1)) - 1) * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    bit_sums = ", ".join(
+        f"SUM(((wh // {1 << j}) % 2) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id, CAST({wh_poly} AS BIGINT) AS wh
+      FROM (SELECT doc_id, unnest({_sql_words()}) AS w FROM {rel})
+    ),
+    bits AS (SELECT doc_id, {bit_sums} FROM exploded GROUP BY doc_id)
+    SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash FROM bits
+    """
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ 3 via byte-banded join.
+
+    Pigeonhole: ≤3 differing bits over 4 disjoint bytes ⇒ at least one
+    byte equal ⇒ the banded equi-join finds EVERY qualifying pair — the
+    oracle's O(n²) scan and this plan return identical rows.
+    """
+    sh = simhash(docs)
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for i in range(_BAND_BYTES)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.byte")
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(rel: str) -> str:
+    return f"""
+    WITH sh AS ({simhash_sql(rel)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (brute-force baseline)
+# ---------------------------------------------------------------------------
+
+
+def dot_fold(a: Column, b: Column) -> Column:
+    """Fixed-order left fold dot product in doubles — bit-identical to
+    DuckDB's list_reduce over list_zip (verified in tests)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_fold(a, b) / (
+        F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b))
+    )
+
+
+DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"({DOT_SQL.format(a=a, b=b)})"
+        f" / (sqrt({DOT_SQL.format(a=a, b=a)}) * sqrt({DOT_SQL.format(a=b, b=b)}))"
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Pairs with cosine ≥ threshold — brute-force O(n²) baseline.
+
+    Test-scale correctness anchor; the bucketed scale path is
+    similarity.lsh_bucket_topk (same cosine kernel, LSH-pruned pairs).
+    """
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_sql(rel: str, threshold: float = 0.45) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+    FROM {rel} a JOIN {rel} b ON a.vec_id < b.vec_id
+    WHERE {cos} >= {threshold}
+    """

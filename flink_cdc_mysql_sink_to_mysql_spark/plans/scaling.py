@@ -1,0 +1,188 @@
+"""Scaling-efficiency evidence (BASELINE.json north rule).
+
+The rule demands throughput scaling efficiency ≥0.8 from N to 4N
+executors. No real cluster exists in this sandbox, so — per BASELINE.md —
+we run the IDENTICAL job on IDENTICAL input at two local parallelism
+levels (local[N] vs local[4N]) and report turns/sec at both plus
+efficiency = (thr_4N / thr_N) / 4.
+
+The measured job is the full changelog-apply pipeline (envelope →
+last-writer-wins materialization → event derivation → sink projection →
+noop sink). Input is synthesized from ``spark.range`` with deterministic
+arithmetic — no files, so the measurement isolates compute+shuffle
+scaling (at 100 TB the scan parallelizes trivially; shuffle and agg are
+what must scale).
+
+Each level runs in a fresh subprocess (own JVM) so neither JIT warmup
+nor executor reuse leaks between measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TURNS = 20_000_000
+HOT_EVERY = 20  # 5% of all turns land in one hot conversation (skew)
+
+
+def synth_envelopes(
+    spark: SparkSession, n_turns: int, n_convs: int | None = None
+) -> DataFrame:
+    """Deterministic Debezium-shaped changelog at arbitrary scale.
+
+    Same op mix as the test fixture (sources/transcripts.py): base r/c
+    rows, +10% updates, +2% deletes; 5% of rows hit a single hot
+    conversation to exercise the skew path.
+    """
+    if n_convs is None:
+        n_convs = max(n_turns // 50, 1)
+    base = spark.range(n_turns).select(
+        F.when(F.col("id") % HOT_EVERY == 0, F.lit("hot"))
+        .otherwise(
+            F.concat(
+                F.lit("c"),
+                ((F.col("id") * 2654435761) % 2147483647 % n_convs).cast(
+                    "string"
+                ),
+            )
+        )
+        .alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(
+                F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")
+            ),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("role"),
+        F.concat(F.lit("turn text "), F.col("id").cast("string")).alias("text"),
+        F.when(
+            F.col("id") % 4 == 2, F.concat(F.lit("tool_"), F.col("id") % 7)
+        ).alias("tool"),
+        F.timestamp_millis(F.lit(1704067200000) + F.col("id") * 100).alias("ts"),
+        F.col("id"),
+    )
+
+    def turn(text_col):
+        return F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            text_col.alias("text"),
+            F.col("tool"),
+            F.col("ts"),
+        )
+
+    src = F.struct(F.lit("transcripts").alias("db"), F.lit("turns").alias("table"))
+    seq0 = F.unix_millis(F.col("ts"))
+    null_turn = F.lit(None).cast(
+        "struct<conv_id:string,turn_idx:int,role:string,text:string,"
+        "tool:string,ts:timestamp>"
+    )
+
+    rows = base.select(
+        F.when(F.col("id") % 100 < 5, F.lit("r")).otherwise(F.lit("c")).alias("op"),
+        null_turn.alias("before"),
+        turn(F.col("text")).alias("after"),
+        src.alias("source"),
+        seq0.alias("seq"),
+    )
+    updates = base.where(F.col("id") % 10 == 7).select(
+        F.lit("u").alias("op"),
+        turn(F.col("text")).alias("before"),
+        turn(F.concat(F.col("text"), F.lit(" [edited]"))).alias("after"),
+        src.alias("source"),
+        (seq0 + 60000).alias("seq"),
+    )
+    deletes = base.where(F.col("id") % 50 == 13).select(
+        F.lit("d").alias("op"),
+        turn(F.col("text")).alias("before"),
+        null_turn.alias("after"),
+        src.alias("source"),
+        (seq0 + 120000).alias("seq"),
+    )
+    return rows.unionByName(updates).unionByName(deletes)
+
+
+def run_once(cpus: int, n_turns: int) -> dict:
+    """One measured run: full changelog-apply pipeline at local[cpus]."""
+    import time
+
+    from ..operators import cdc
+    from ..session import get_spark
+
+    spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    env = synth_envelopes(spark, n_turns)
+    # warm-up: tiny run to JIT the pipeline (excluded from timing)
+    cdc.sink_rows(
+        cdc.derive_turn_events(cdc.apply_changelog(synth_envelopes(spark, 10_000)))
+    ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    out = cdc.sink_rows(cdc.derive_turn_events(cdc.apply_changelog(env)))
+    out.write.format("noop").mode("overwrite").save()
+    wall = time.perf_counter() - t0
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "n_turns": n_turns,
+        "wall_sec": round(wall, 2),
+        "turns_per_sec": round(n_turns / wall),
+    }
+
+
+def _run_in_subprocess(cpus: int, n_turns: int) -> dict:
+    code = (
+        "import json;"
+        "from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import run_once;"
+        f"print('RESULT ' + json.dumps(run_once({cpus}, {n_turns})))"
+    )
+    env = dict(os.environ)
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"scaling run (cpus={cpus}) failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+def measure_scaling(
+    sf_dir: str | None = None,
+    cpus_lo: int = 8,
+    cpus_hi: int = 32,
+    n_turns: int | None = None,
+) -> dict:
+    """N vs 4N measurement; returns both throughputs + efficiency."""
+    if n_turns is None:
+        n_turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", DEFAULT_TURNS))
+    lo = _run_in_subprocess(cpus_lo, n_turns)
+    hi = _run_in_subprocess(cpus_hi, n_turns)
+    ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
+    eff = ratio / (cpus_hi / cpus_lo)
+    return {
+        "lo": lo,
+        "hi": hi,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure_scaling(), indent=2))

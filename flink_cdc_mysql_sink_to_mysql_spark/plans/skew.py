@@ -1,0 +1,88 @@
+"""Explicit skew handling for hot conversations.
+
+The transcript changelog is zipf-skewed on ``conv_id`` (one hot
+conversation can be orders of magnitude larger than the median). Three
+layers of defense, composable:
+
+1. **AQE skew-join** — on by default in session.py
+   (``spark.sql.adaptive.skewJoin.enabled``): splits oversized join
+   partitions at runtime. Covers the stream-stream join and cohort
+   anti-join without code changes.
+2. **Salted repartition** (:func:`repartition_salted`) — for *stateless*
+   stages (event derivation, mapInPandas feature extraction): spreads a
+   hot key over N buckets so no single task owns the whole hot
+   conversation. Safe because stateless stages never group by the key.
+3. **Two-phase salted aggregation** (:func:`salted_agg`) — for keyed
+   aggregations with algebraic (commutative+associative) aggregates:
+   partial agg on (key, salt) → final agg on key. The hot key's rows are
+   reduced in parallel across S tasks before the single final combine
+   touches S pre-aggregated rows instead of the raw row count.
+   ``max_by`` (the LWW winner pick in cdc.apply_changelog) is algebraic,
+   so the same trick applies to changelog materialization if a single
+   (conv_id, turn_idx) ever became hot — in practice the LWW key
+   includes turn_idx, which already spreads hot conversations.
+
+Note what salting can NOT do (SURVEY.md §7 watch list): keyed *state*
+(session windows, stream-stream join state) is keyed by conv_id and
+cannot be salted without changing semantics — there the mitigation is
+watermark-based state eviction, AQE, and per-key state size caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_col(*key_cols: str | Column, buckets: int = 32) -> Column:
+    """Deterministic salt in [0, buckets) from a secondary hash — derived
+    from the full row key so replays land on the same salt (exactly-once
+    MERGE stays idempotent)."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(buckets)).cast("int")
+
+
+def repartition_salted(
+    df: DataFrame, key: str, buckets: int = 32, secondary: str | None = None
+) -> DataFrame:
+    """Repartition by (hash(key), salt) so a hot key spans `buckets`
+    partitions. For stateless downstream stages only."""
+    salt = salt_col(key, *( [secondary] if secondary else [] ), buckets=buckets)
+    return df.repartition(F.col(key), salt)
+
+
+_ALGEBRAIC = {"sum", "count", "min", "max"}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Two-phase aggregation: groupBy(keys+salt) partial → groupBy(keys)
+    final. ``aggs`` maps output name → (fn, column), fn in
+    {sum, count, min, max}. Result is row-identical to the direct
+    groupBy (algebraic aggregates), verified in tests/test_skew.py.
+
+    count re-aggregates as sum in the final phase; the others are
+    idempotent under re-application.
+    """
+    unknown = {fn for fn, _ in aggs.values()} - _ALGEBRAIC
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s): {sorted(unknown)}")
+
+    salt = salt_col(salt_source or keys[0], buckets=buckets)
+    partial_exprs = [
+        getattr(F, fn)(col).alias(name) for name, (fn, col) in aggs.items()
+    ]
+    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *partial_exprs
+    )
+    final_exprs = [
+        (F.sum(name) if fn == "count" else getattr(F, fn)(name))
+        .cast(partial.schema[name].dataType if fn != "count" else "long")
+        .alias(name)
+        for name, (fn, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*final_exprs)

@@ -1,0 +1,169 @@
+"""Unit tests for the training-data pipeline operators (text analysis,
+dedup, similarity search, multimodal plumbing) beyond the oracle-parity
+gate in test_oracle_parity.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
+from flink_cdc_mysql_sink_to_mysql_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def _docs(spark, sf=SF_CORRECT):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf=SF_CORRECT):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """The synthetic corpus plants near-dup pairs at Jaccard ≥0.9 with a
+    clean gap (everything else <0.3); LSH must recover all of them."""
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.jaccard_pairs(_docs(spark)).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(_docs(spark)).collect()
+    }
+    assert len(brute) > 0, "corpus should contain planted near-dups"
+    assert lsh == brute
+
+
+def test_simhash_banded_equals_bruteforce(spark):
+    """Pigeonhole property: byte-banded join returns exactly the pairs a
+    full O(n²) Hamming scan returns (Hamming ≤ 3 over 4 bands)."""
+    sh = dedup.simhash(_docs(spark, SF_SMOKE))
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("h"),
+        )
+        .where(F.col("h") <= dedup.HAMMING_MAX)
+        .collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(_docs(spark, SF_SMOKE)).collect()
+    }
+    assert banded == brute
+
+
+def test_exact_dedup_total_mass(spark):
+    g = dedup.exact_dedup_groups(_docs(spark))
+    total = g.agg(F.sum("n_docs")).collect()[0][0]
+    assert total == _docs(spark).count()
+
+
+def test_embedding_near_dup_symmetric_threshold(spark):
+    pairs = dedup.embedding_near_dup(_emb(spark, SF_SMOKE), threshold=0.3)
+    bad = pairs.where(
+        (F.col("cos") < 0.3) | (F.col("vec_a") >= F.col("vec_b"))
+    ).count()
+    assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def test_topk_rank_contract(spark):
+    tk = similarity.cosine_topk(_emb(spark), k=5).toPandas()
+    assert set(tk["rank"]) <= {1, 2, 3, 4, 5}
+    per_q = tk.groupby("q_id").size()
+    assert (per_q == 5).all()
+    # rank 1 has the max cos per query
+    for q, grp in tk.groupby("q_id"):
+        assert grp.loc[grp["rank"].idxmin(), "cos"] == grp["cos"].max()
+
+
+def test_lsh_topk_is_subset_of_bucket(spark):
+    """Every ANN result must share the query's LSH bucket (definition)."""
+    emb = _emb(spark).select(
+        "vec_id", similarity.lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    ann = similarity.lsh_topk(_emb(spark), k=5)
+    joined = (
+        ann.join(emb.withColumnRenamed("vec_id", "q_id"), "q_id")
+        .withColumnRenamed("bucket", "q_bucket")
+        .join(emb, "vec_id")
+    )
+    assert joined.where(F.col("bucket") != F.col("q_bucket")).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_text_profile_ranges(spark):
+    p = textfn.text_profile(_docs(spark)).toPandas()
+    assert (p["quality_score"].between(0, 100)).all()
+    assert (p["n_bpe_tokens"] >= p["n_words"]).all()
+    assert set(p["lang_pred"]) <= {"und", *textfn.LANG_PRIORITY}
+
+
+def test_fingerprint_stability(spark):
+    """Whitespace/case normalization: same fp for cosmetic variants."""
+    df = spark.createDataFrame(
+        [(1, "The  Quick Brown fox"), (2, "the quick   brown FOX")],
+        "doc_id long, text string",
+    )
+    fps = textfn.fingerprints(df).select("fp").distinct().count()
+    assert fps == 1
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_decode_image_gate_raises(spark):
+    media = multimodal.media_table(_docs(spark, SF_SMOKE))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(media, fake=False)
+
+
+def test_media_schema_and_batch_shape(spark):
+    media = multimodal.media_table(_docs(spark, SF_SMOKE))
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    feats = multimodal.media_features(media)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    row = feats.orderBy("doc_id").first()
+    assert row.n_bytes in (16, 32, 48, 64)
+    assert len(row.sha256) == 64 and len(row.head_hex) == 16
+
+
+def test_frame_sample_counts(spark):
+    media = multimodal.media_table(_docs(spark, SF_SMOKE))
+    frames = multimodal.frame_sample(media, every=2).toPandas()
+    meta = media.where(F.col("media_type") == "video").select(
+        "doc_id", "n_frames"
+    ).toPandas()
+    expected = {
+        r.doc_id: len(range(0, r.n_frames, 2)) for r in meta.itertuples()
+    }
+    got = frames.groupby("doc_id").size().to_dict()
+    assert got == expected
