@@ -118,15 +118,23 @@ def run_once(cpus: int, n_turns: int) -> dict:
 
     spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    env = synth_envelopes(spark, n_turns)
-    # warm-up: tiny run to JIT the pipeline (excluded from timing)
-    cdc.sink_rows(
-        cdc.derive_turn_events(cdc.apply_changelog(synth_envelopes(spark, 10_000)))
-    ).write.format("noop").mode("overwrite").save()
 
+    def pipeline(envelopes):
+        # the two consumer paths of the changelog: LWW materialization
+        # (flagship) and event derivation → sink projection
+        cdc.apply_changelog(envelopes).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        cdc.sink_rows(cdc.derive_turn_events(envelopes)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # warm-up: tiny run to JIT the pipeline (excluded from timing)
+    pipeline(synth_envelopes(spark, 10_000))
+
+    env = synth_envelopes(spark, n_turns)
     t0 = time.perf_counter()
-    out = cdc.sink_rows(cdc.derive_turn_events(cdc.apply_changelog(env)))
-    out.write.format("noop").mode("overwrite").save()
+    pipeline(env)
     wall = time.perf_counter() - t0
     spark.stop()
     return {
