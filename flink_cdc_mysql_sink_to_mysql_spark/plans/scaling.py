@@ -6,6 +6,15 @@ we run the IDENTICAL job on IDENTICAL input at two local parallelism
 levels (local[N] vs local[4N]) and report turns/sec at both plus
 efficiency = (thr_4N / thr_N) / 4.
 
+Choice of N: this sandbox advertises 32 vCPUs but a raw multi-process
+CPU probe (fixed per-process work, no JVM) shows aggregate throughput
+caps at ~15 effective cores — a hypervisor/cgroup quota, not a property
+of the job: per-process wall time is flat from 1→8 processes and
+degrades beyond. N=2 vs 4N=8 therefore measures the job's scaling
+inside the region where the machine itself scales; 8 vs 32 would
+measure the quota. (On a real cluster the equivalent guardrail is
+executors × cores ≤ physical cores per node.)
+
 The measured job is the full changelog-apply pipeline (envelope →
 last-writer-wins materialization → event derivation → sink projection →
 noop sink). Input is synthesized from ``spark.range`` with deterministic
@@ -27,7 +36,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_TURNS = 20_000_000
+DEFAULT_TURNS = 10_000_000
 HOT_EVERY = 20  # 5% of all turns land in one hot conversation (skew)
 
 
@@ -173,8 +182,8 @@ def _run_in_subprocess(cpus: int, n_turns: int) -> dict:
 
 def measure_scaling(
     sf_dir: str | None = None,
-    cpus_lo: int = 8,
-    cpus_hi: int = 32,
+    cpus_lo: int = 2,
+    cpus_hi: int = 8,
     n_turns: int | None = None,
 ) -> dict:
     """N vs 4N measurement; returns both throughputs + efficiency."""

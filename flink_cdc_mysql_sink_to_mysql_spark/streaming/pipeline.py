@@ -181,6 +181,123 @@ def windowed_counts_stream(
     return out_dir
 
 
+def stream_stream_join(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_delay: str = "INTERVAL 30 MINUTES",
+    watermark_delay: str = "30 minutes",
+):
+    """Stateful stream-stream join: user turns ⋈ assistant/tool turns on
+    conv_id with an event-time bound (the north-rule capability the
+    reference lacks — it only unions, U1).
+
+    Both sides carry watermarks, and the join's time-range predicate
+    (a.ts in (u.ts, u.ts + max_delay]) lets the state store evict a
+    user turn once the response-side watermark passes u.ts + max_delay —
+    bounded state per conv_id regardless of stream length. Same plan as
+    the batch form (operators/joins.py) so results are oracle-checkable.
+    """
+    env = envelope_stream(spark, spool_dir)
+    turns = env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.col("after.role").alias("role"),
+        F.col("after.ts").alias("ts"),
+    )
+    u = (
+        turns.where(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("u_conv"),
+            F.col("turn_idx").alias("u_idx"),
+            F.col("ts").alias("u_ts"),
+        )
+        .withWatermark("u_ts", watermark_delay)
+    )
+    a = (
+        turns.where(F.col("role").isin("assistant", "tool"))
+        .select(
+            F.col("conv_id").alias("a_conv"),
+            F.col("turn_idx").alias("a_idx"),
+            F.col("role").alias("a_role"),
+            F.col("ts").alias("a_ts"),
+        )
+        .withWatermark("a_ts", watermark_delay)
+    )
+    joined = u.join(
+        a,
+        (u["u_conv"] == a["a_conv"])
+        & (a["a_ts"] > u["u_ts"])
+        & (a["a_ts"] <= u["u_ts"] + F.expr(max_delay)),
+        "inner",
+    ).select(
+        F.col("u_conv").alias("conv_id"),
+        "u_idx",
+        "a_idx",
+        "a_role",
+        (F.unix_millis("a_ts") - F.unix_millis("u_ts")).alias("latency_ms"),
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def session_windows_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark_delay: str = "30 minutes",
+):
+    """Turn-gap sessionization as a stream: `session_window(ts, gap)`
+    per conv_id with a watermark — a session closes (and emits, append
+    mode) once the watermark passes its end; late turns within the delay
+    re-open/merge sessions, later ones are dropped (north-rule
+    semantics; SURVEY §7 'session windows + upsert interplay')."""
+    env = envelope_stream(spark, spool_dir)
+    turns = env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.col("after.ts").alias("ts"),
+    )
+    agg = (
+        turns.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
 def spool_dataframe(df: DataFrame, spool_dir: str, name: str) -> str:
     """Append one bounded DataFrame to the spool as a single flat parquet
     file (atomic rename — the file source sees whole files only)."""

@@ -1,0 +1,141 @@
+"""Custom keyed stateful operator (applyInPandasWithState).
+
+`conversation_progress` is the CEP-style capability SURVEY §2.8 maps to
+GroupState per conv_id: for every turn, emit the running turn count and
+a turn-gap session id — the stateful-streaming twin of the batch
+session assignment (operators/windows.py session oracle), so the two
+are equivalence-tested on ordered replays.
+
+State per conv_id = (turns_so_far, last_ts_ms, session_id): O(1) per
+key regardless of conversation length — hot conversations cost no extra
+state (the skew concern from SURVEY §7 does not apply to this
+operator; it applies to the *shuffle* into the keyed state, which AQE
+and salted repartition handle upstream).
+
+Ordering contract: correctness vs the batch oracle requires per-key
+arrival in (ts, turn_idx) order across microbatches (the spool replays
+the changelog in seq order — the reference's binlog-order delivery,
+`UserBehaviorClickHouseSinkJob.java:63-95` parallelism-1 analog).
+Within a batch, rows are sorted before folding.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PROGRESS_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("ts_ms", LongType()),
+        StructField("turns_so_far", IntegerType()),
+        StructField("session_id", IntegerType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n", IntegerType()),
+        StructField("last_ts", LongType()),
+        StructField("sid", IntegerType()),
+    ]
+)
+
+GAP_MS = 30 * 60 * 1000
+
+
+def _progress_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    n, last_ts, sid = state.get if state.exists else (0, None, 0)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+        ["ts_ms", "turn_idx"]
+    )
+    out_n, out_sid = [], []
+    for ts in rows["ts_ms"]:
+        if last_ts is not None and ts - last_ts > GAP_MS:
+            sid += 1
+        n += 1
+        last_ts = int(ts)
+        out_n.append(n)
+        out_sid.append(sid)
+    state.update((n, last_ts, sid))
+    yield pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": rows["turn_idx"].astype("int32"),
+            "ts_ms": rows["ts_ms"].astype("int64"),
+            "turns_so_far": pd.Series(out_n, index=rows.index, dtype="int32"),
+            "session_id": pd.Series(out_sid, index=rows.index, dtype="int32"),
+        }
+    )
+
+
+def conversation_progress_stream(
+    spark,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the stateful progress operator over the envelope spool."""
+    from .pipeline import envelope_stream
+
+    env = envelope_stream(spark, spool_dir)
+    turns = env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").cast("int").alias("turn_idx"),
+        F.unix_millis(F.col("after.ts")).alias("ts_ms"),
+    )
+    prog = turns.groupBy("conv_id").applyInPandasWithState(
+        _progress_fn,
+        outputStructType=PROGRESS_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        prog.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def conversation_progress_batch(turns: DataFrame) -> DataFrame:
+    """Batch oracle: identical semantics via window functions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("ts_ms", "turn_idx")
+    gap = F.when(
+        F.lag("ts_ms").over(w).isNotNull()
+        & (F.col("ts_ms") - F.lag("ts_ms").over(w) > GAP_MS),
+        1,
+    ).otherwise(0)
+    return turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "ts_ms",
+        F.row_number().over(w).cast("int").alias("turns_so_far"),
+        F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int").alias("session_id"),
+    )

@@ -1,0 +1,113 @@
+"""Streaming stream-stream join, session windows, and the
+applyInPandasWithState progress operator — each checked against its
+batch twin on an ordered replay (SURVEY.md §5.2 item 2 pattern)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import joins, windows
+from flink_cdc_mysql_sink_to_mysql_spark.sources import mysql_changelog
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import stateful
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def spool(spark, tmp_path):
+    env = mysql_changelog(spark, SF)
+    d = str(tmp_path / "spool")
+    pl.spool_changelog(env, d, n_chunks=3)
+    return d
+
+
+def _turns_batch(spark):
+    env = mysql_changelog(spark, SF)
+    return env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.col("after.role").alias("role"),
+        F.col("after.ts").alias("ts"),
+    )
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, spool):
+    out = pl.stream_stream_join(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(out).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            joins.user_turn_responses(_turns_batch(spark))
+            .select("conv_id", "u_idx", "a_idx", "a_role", "latency_ms")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+
+def test_session_windows_stream_matches_batch(spark, tmp_path, spool):
+    out = pl.session_windows_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(out)
+            .select(
+                F.unix_millis("sess_start").alias("s"),
+                F.unix_millis("sess_end").alias("e"),
+                "conv_id",
+                "n_turns",
+                "first_turn",
+                "last_turn",
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            windows.session_windows(_turns_batch(spark))
+            .select(
+                "sess_start_ms",
+                "sess_end_ms",
+                "conv_id",
+                "n_turns",
+                "first_turn",
+                "last_turn",
+            )
+            .collect(),
+        )
+    )
+    # Append-mode semantics: a session emits only once the watermark
+    # passes its end; sessions still open at end-of-stream stay in state
+    # (they'd emit on the next run). So streamed == batch minus exactly
+    # the tail sessions ending after the final watermark.
+    max_ts = _turns_batch(spark).agg(
+        F.max(F.unix_millis("ts"))
+    ).collect()[0][0]
+    final_watermark = max_ts - 30 * 60 * 1000
+    emitted = [s for s in want if s[1] <= final_watermark]
+    tail = [s for s in want if s[1] > final_watermark]
+    assert got == emitted and len(got) > 0
+    assert sorted(set(want) - set(got)) == sorted(tail)
+
+
+def test_stateful_progress_matches_batch(spark, tmp_path, spool):
+    out = stateful.conversation_progress_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    turns = _turns_batch(spark).select(
+        "conv_id", "turn_idx", F.unix_millis("ts").alias("ts_ms")
+    )
+    want = sorted(
+        map(tuple, stateful.conversation_progress_batch(turns).collect())
+    )
+    assert got == want and len(got) > 0
