@@ -391,6 +391,18 @@ def q_cohort_unmapped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two-phase salted aggregation (skew path) — SAME oracle as cohort_exist,
+# proving the salted plan is row-identical (plans/skew.py)
+@register(
+    "cohort_exist_salted",
+    oracle=cohort.rule_to_sql(RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW),
+)
+def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort.exist_conv_ids_salted(
+        _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. text analysis (training-data pipeline: lang-ID, quality, tokens, fp)
 # ---------------------------------------------------------------------------

@@ -112,6 +112,38 @@ def exist_conv_ids(events: DataFrame, rule: CohortRule, now: str) -> DataFrame:
     )
 
 
+def exist_conv_ids_salted(
+    events: DataFrame, rule: CohortRule, now: str, buckets: int = 32
+) -> DataFrame:
+    """Two-phase salted variant of :func:`exist_conv_ids` for zipf-hot
+    conv_ids (plans/skew.py defense #3): partial agg on (conv_id, salt)
+    → final agg on conv_id. All three rule dimensions (SUM/COUNT/MAX)
+    are algebraic, so the result is row-identical — registered against
+    the SAME DuckDB oracle as the direct form to prove it.
+    """
+    from ..plans.skew import salted_agg
+
+    df = events
+    kind = TARGET_TO_KIND.get(rule.target)
+    if kind is not None:
+        df = df.where(F.col("event_kind") == kind)
+    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
+
+    if not rule.sub_params:
+        return df.select("conv_id").distinct()
+
+    _DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
+    df = df.withColumn("_one", F.lit(1))
+    aggs = {f"_a{i}": _DIM_SALTED[sp.dimension] for i, sp in enumerate(rule.sub_params)}
+    conds = [
+        _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
+        for i, sp in enumerate(rule.sub_params)
+    ]
+    out = salted_agg(df, ["conv_id"], aggs, buckets=buckets)
+    having = reduce(lambda a, b: a & b, conds)
+    return out.where(having).select("conv_id")
+
+
 def not_exist_conv_ids(
     members: DataFrame, events: DataFrame, rule: CohortRule, now: str
 ) -> DataFrame:

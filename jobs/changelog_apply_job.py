@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint: replay a transcript changelog into the
+exactly-once upsert sink (the north-rule deployment shape).
+
+Package the engine and submit::
+
+    python -m zipfile -c /tmp/engine.zip flink_cdc_mysql_sink_to_mysql_spark
+    spark-submit --master local[8] --py-files /tmp/engine.zip \
+        jobs/changelog_apply_job.py \
+        --sf-dir /root/testdata/sf0.001 --workdir /tmp/cdc-run
+
+On a real cluster only ``--master`` changes (YARN/K8s); the job itself
+is cluster-agnostic — no local filesystem assumptions beyond workdir
+(point it at a shared mount / object store in production; the Iceberg
+path swaps in for the parquet MERGE shim per SURVEY.md §7).
+
+Re-running with the same --workdir resumes from the checkpoint and the
+MERGE sink's idempotence keeps the result exactly-once (kill/resume is
+pinned by tests/test_streaming.py; this job is the operational wrapper).
+
+Prints ONE JSON summary line: rows materialized, microbatches, lineage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
+    mysql_changelog,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl  # noqa: E402
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (  # noqa: E402
+    MergeParquetSink,
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--chunks", type=int, default=4)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("changelog-apply").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    spool = os.path.join(args.workdir, "spool")
+    ckpt = os.path.join(args.workdir, "checkpoint")
+    sink = MergeParquetSink(root=os.path.join(args.workdir, "sink"))
+
+    # spool the bounded changelog once (idempotent: skip if present)
+    if not os.path.isdir(spool) or not os.listdir(spool):
+        pl.spool_changelog(mysql_changelog(spark, args.sf_dir), spool, args.chunks)
+
+    lineage = os.path.join(args.workdir, "lineage.jsonl")
+    prior = sum(1 for _ in open(lineage)) if os.path.exists(lineage) else 0
+    pl.materialize_stream(
+        spark, spool, sink, ckpt, lineage_path=lineage
+    )
+
+    snap = sink.snapshot(spark)
+    n = snap.count()
+    total = sum(1 for _ in open(lineage)) if os.path.exists(lineage) else 0
+    batches = total - prior
+    print(
+        json.dumps(
+            {
+                "rows_materialized": n,
+                "microbatches_this_run": batches,
+                "sink": sink.root,
+                "checkpoint": ckpt,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
