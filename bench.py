@@ -41,11 +41,14 @@ HEADLINE = [
     "join_first_response",
     "cohort_exist",
     "cohort_not_exist",
+    "cohort_exist_salted",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "text_quality",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "multimodal_features",
 ]
 
 

@@ -30,6 +30,8 @@ bit-identical between Spark and DuckDB (see tests/test_dedup.py).
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -317,42 +319,35 @@ def _word_hash(x: Column) -> Column:
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash:bigint) — 32-bit SimHash over word hashes.
 
-    Implemented as a **narrow array fold** (F.aggregate over the words
-    array accumulating 32 signed bit-counts) — zero shuffle, unlike the
-    textbook explode+groupBy form. Word multiplicity weights naturally.
+    Explode words → ONE md5/conv per word occurrence → 32 signed
+    bit-count sums in a single hash aggregation (map-side partials; the
+    shuffle carries 32 longs per doc). An array-fold form was tried and
+    REJECTED: higher-order-function lambdas get no subexpression
+    elimination, so the word hash re-evaluated per bit (32× the md5
+    work — same trap as minhash shingling). Literal shift counts are
+    fine outside lambdas, so `shiftright` applies directly here. Word
+    multiplicity weights naturally.
     """
-    # shift amounts are lambda-bound Columns, so shiftleft/shiftright
-    # literals don't apply — use power-of-two arithmetic instead (division
-    # by 2^j is a pure exponent shift in binary FP: exact for wh < 2^53).
-    def _pow2(j) -> Column:
-        return F.pow(F.lit(2.0), j)
-
-    w = words(F.col("text"))
-    wh_arr = F.transform(w, _word_hash)
-    contrib = F.aggregate(
-        wh_arr,
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, wh: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-                lambda j: (F.floor(wh / _pow2(j)).cast("long") % 2) * 2 - 1,
-            ),
-            lambda a, c: a + c,
-        ),
+    ex = docs.select("doc_id", F.explode(words(F.col("text"))).alias("word"))
+    ex = ex.select("doc_id", _word_hash(F.col("word")).alias("wh"))
+    bits = ex.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("wh"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
     )
-    sh = F.aggregate(
-        F.zip_with(
-            contrib,
-            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-            lambda c, j: F.when(c >= 0, _pow2(j).cast("long")).otherwise(
+    sh = reduce(
+        lambda a, b: a + b,
+        [
+            F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("long")).otherwise(
                 F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+            )
+            for j in range(SIMHASH_BITS)
+        ],
     )
-    return docs.select("doc_id", sh.alias("simhash"))
+    return bits.select("doc_id", sh.alias("simhash"))
 
 
 def simhash_sql(rel: str) -> str:

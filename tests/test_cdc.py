@@ -200,3 +200,21 @@ def test_mongo_insert_only_case_insensitive(spark):
     assert row["op"] == "c" and row["_kind_override"] == 10
     ev = cdc.derive_turn_events(out)
     assert sorted(r["event_kind"] for r in ev.collect()) == [10, 10]
+
+
+def test_apply_changelog_order_invariant(spark):
+    """SURVEY §5.2 item 5: shuffling envelope arrival order leaves the
+    materialized table identical (LWW keys on (seq, op-rank), never on
+    arrival order)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.sources import mysql_changelog
+
+    env = mysql_changelog(spark, "/root/testdata/sf0.001")
+    base = sorted(
+        map(tuple, cdc.apply_changelog(env).collect())
+    )
+    # deterministic pseudo-random reorder: sort by a hash of the payload
+    shuffled = env.orderBy(F.xxhash64(F.col("seq"), F.col("op")))
+    again = sorted(
+        map(tuple, cdc.apply_changelog(shuffled).collect())
+    )
+    assert again == base and len(base) > 0
