@@ -57,6 +57,28 @@ def envelope_stream(
     return reader.parquet(spool_dir)
 
 
+MONGO_DDL = (
+    "operationType string,"
+    " fullDocument struct<_id:struct<oid:string>,conv_id:string,"
+    "turn_idx:int,role:string,text:string,tool:string,"
+    "create_time:struct<date:long>>"
+)
+
+
+def mongo_envelope_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Second dialect feed (Mongo oplog shape) as a stream — the raw
+    `operationType/fullDocument` rows; normalization to the common
+    envelope happens in cdc.union_feeds (U1 parity)."""
+    reader = spark.readStream.schema(MONGO_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(spool_dir)
+
+
 class LineageListener(StreamingQueryListener):
     """Per-microbatch lineage + row-count metrics (north rule: restarts
     resume with per-partition lineage and row-count metrics)."""
@@ -99,16 +121,28 @@ def materialize_stream(
     watermark_delay: str = "1 hour",
     max_files_per_trigger: int | None = 1,
     lineage_path: str | None = None,
+    mongo_spool_dir: str | None = None,
 ):
     """Run the changelog→table materialization as a stream, available-now.
 
     Returns after the spool is drained (Trigger.AvailableNow analog of a
     bounded replay); re-invoking with the same checkpoint resumes at the
     committed offset — the kill/resume path tests/test_streaming.py pins.
+
+    With ``mongo_spool_dir`` the second dialect feed streams in and the
+    two are unioned (U1 — the reference's connect+CoMap,
+    UserBehaviorClickHouseSinkJob.java:66,103-113) before the sink;
+    Structured Streaming unions streaming DataFrames natively.
     """
+    from ..operators import cdc
+
     # NOTE: the MERGE path needs no watermark (upserts are key-complete);
     # watermark_delay is honored by the windowed query path below.
     env = envelope_stream(spark, spool_dir, max_files_per_trigger)
+    if mongo_spool_dir is not None:
+        env = cdc.union_feeds(
+            env, mongo_envelope_stream(spark, mongo_spool_dir, max_files_per_trigger)
+        )
     env = env.observe(
         "engine",
         F.count(F.lit(1)).alias("rows"),

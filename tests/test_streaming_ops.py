@@ -111,3 +111,54 @@ def test_stateful_progress_matches_batch(spark, tmp_path, spool):
         map(tuple, stateful.conversation_progress_batch(turns).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_union_stream_matches_batch_apply(spark, tmp_path):
+    """U1 streaming parity: both dialect feeds stream in, union, MERGE —
+    final table equals the batch apply of the unioned changelog (the
+    entry-query golden, 983 rows at sf0.001)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+    from flink_cdc_mysql_sink_to_mysql_spark.sources import mongo_changelog
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    my_spool = str(tmp_path / "spool_my")
+    mo_spool = str(tmp_path / "spool_mo")
+    pl.spool_changelog(mysql_changelog(spark, SF), my_spool, n_chunks=2)
+    pl.spool_changelog(
+        mongo_changelog(spark, SF),
+        mo_spool,
+        n_chunks=2,
+        order_by="fullDocument.create_time.date",
+    )
+    sink = MergeParquetSink(root=str(tmp_path / "sink"))
+    pl.materialize_stream(
+        spark,
+        my_spool,
+        sink,
+        str(tmp_path / "ck"),
+        mongo_spool_dir=mo_spool,
+    )
+    got = sorted(
+        map(
+            tuple,
+            sink.snapshot(spark)
+            .select("conv_id", "turn_idx", "role", "text", "tool",
+                    F.unix_millis("ts").alias("ts_ms"))
+            .collect(),
+        )
+    )
+    env = cdc.union_feeds(
+        mysql_changelog(spark, SF), mongo_changelog(spark, SF)
+    )
+    want = sorted(
+        map(
+            tuple,
+            cdc.apply_changelog(env)
+            .select("conv_id", "turn_idx", "role", "text", "tool",
+                    F.unix_millis("ts").alias("ts_ms"))
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 900
