@@ -68,3 +68,35 @@ def test_repartition_salted_spreads_hot_key(spark, skewed):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert parts > 1, "hot key must span multiple partitions after salting"
+
+
+def test_hot_key_changelog_apply_completes(spark):
+    """SURVEY §5.2 item 6: a changelog with 5% of all turns in ONE hot
+    conversation applies correctly (no straggler blowup at test scale;
+    same generator the scaling bench uses at 10M turns)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import (
+        HOT_EVERY,
+        synth_envelopes,
+    )
+
+    n = 200_000
+    env = synth_envelopes(spark, n)
+    out = cdc.apply_changelog(env)
+    got_total = out.count()
+    got_hot = out.where(F.col("conv_id") == "hot").count()
+    # every turn_idx is unique → rows = n − deletes (id % 50 == 13)
+    deletes = sum(1 for i in range(n) if i % 50 == 13)
+    assert got_total == n - deletes
+    hot_expected = sum(
+        1 for i in range(n) if i % HOT_EVERY == 0 and i % 50 != 13
+    )
+    assert got_hot == hot_expected
+
+
+def test_iceberg_sink_gated(spark):
+    """The Iceberg path is config-selected; without catalog jars it
+    reports unavailable (and the parquet MERGE shim is used instead)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import iceberg
+
+    assert iceberg.iceberg_available(spark) is False
