@@ -495,6 +495,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(_emb(spark, sf_dir))
 
 
+@register("ann_ivf_topk", oracle=similarity.ivf_topk_sql("embeddings"))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=dedup.embedding_near_dup_lsh_sql("embeddings"),
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.embedding_near_dup_lsh(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # 11. multimodal plumbing (binary media columns + mapInPandas stages)
 # ---------------------------------------------------------------------------

@@ -493,3 +493,50 @@ def embedding_near_dup_sql(rel: str, threshold: float = 0.45) -> str:
     FROM {rel} a JOIN {rel} b ON a.vec_id < b.vec_id
     WHERE {cos} >= {threshold}
     """
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame, threshold: float = 0.45
+) -> DataFrame:
+    """Scale path for embedding near-dup: equi-join on the sign-bit LSH
+    bucket (similarity.lsh_bucket) instead of the full cross join, then
+    the same cosine filter. Approximate by definition — pairs straddling
+    a bucket boundary are not compared; the oracle runs the identical
+    bucket-restricted semantics, and recall vs the exact form is a
+    measured property (tests), not an assertion.
+    """
+    from .similarity import lsh_bucket
+
+    wb = emb.select(
+        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+    )
+    a = wb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("bucket").alias("ba"),
+    )
+    b = wb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("bb"),
+    )
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, (F.col("ba") == F.col("bb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_lsh_sql(rel: str, threshold: float = 0.45) -> str:
+    from .similarity import lsh_bucket_sql
+
+    cos = cosine_sql("a.embedding", "b.embedding")
+    ba = lsh_bucket_sql("a.embedding")
+    bb = lsh_bucket_sql("b.embedding")
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos
+    FROM {rel} a JOIN {rel} b
+      ON a.vec_id < b.vec_id AND {ba} = {bb}
+    WHERE {cos} >= {threshold}
+    """

@@ -135,6 +135,110 @@ def lsh_topk(emb: DataFrame, k: int = 5, every: int = 100) -> DataFrame:
     )
 
 
+CENTROID_EVERY = 101  # deterministic centroid sample: vec_id % 101 == 0
+
+
+def ivf_assign(emb: DataFrame, every_centroid: int = CENTROID_EVERY) -> DataFrame:
+    """IVF cell assignment with a deterministic centroid sample.
+
+    Real IVF fits centroids with k-means; the sandbox keeps the index
+    DETERMINISTIC (and oracle-checkable) by sampling centroids from the
+    corpus itself (vec_id % every_centroid == 0). The assignment plan is
+    the one a trained IVF would use too: broadcast the tiny centroid
+    table, score corpus × centroids, keep the argmax-cosine cell
+    (ties → smallest centroid id). Swap the sample for k-means output on
+    a real cluster; nothing else changes.
+    """
+    cents = F.broadcast(
+        emb.where(F.col("vec_id") % every_centroid == 0).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    scored = emb.join(cents).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine(F.col("embedding"), F.col("cemb")).alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    every: int = 100,
+    every_centroid: int = CENTROID_EVERY,
+) -> DataFrame:
+    """ANN top-k probing the query's own IVF cell (nprobe=1).
+
+    Scale path: the corpus is range/bucket-partitioned by cell, so a
+    query touches one cell's partition instead of the whole corpus;
+    raising nprobe trades cost for recall. Approximate by definition —
+    the oracle runs the identical cell-restricted semantics.
+    """
+    assigned = ivf_assign(emb, every_centroid)
+    q = F.broadcast(
+        assigned.where(F.col("vec_id") % every == 0).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("cell").alias("q_cell"),
+        )
+    )
+    scored = q.join(
+        assigned,
+        (F.col("q_cell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
+    ).select(
+        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def ivf_topk_sql(
+    rel: str, k: int = 5, every: int = 100, every_centroid: int = CENTROID_EVERY
+) -> str:
+    ccos = cosine_sql("e.embedding", "c.embedding")
+    cos = cosine_sql("q.q_emb", "a.embedding")
+    return f"""
+    WITH assign AS (
+      SELECT vec_id, embedding, cid AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ccos} DESC, c.vec_id ASC) AS rn
+        FROM {rel} e JOIN {rel} c ON c.vec_id % {every_centroid} = 0
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cell AS q_cell
+      FROM assign WHERE vec_id % {every} = 0
+    ),
+    scored AS (
+      SELECT q.q_id, a.vec_id, {cos} AS cos
+      FROM q JOIN assign a ON a.cell = q.q_cell AND a.vec_id != q.q_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def lsh_topk_sql(rel: str, k: int = 5, every: int = 100) -> str:
     cos = cosine_sql("q.embedding", "c.embedding")
     qb = lsh_bucket_sql("q.embedding")

@@ -1,0 +1,60 @@
+"""Plan-quality regression tests: the physical plans that make these
+operators scale must not silently degrade (column pruning, broadcast
+strategy, map-side partial aggregation)."""
+
+from __future__ import annotations
+
+from flink_cdc_mysql_sink_to_mysql_spark import entry_queries
+from tests.conftest import SF_CORRECT
+
+
+def _plan(spark, name: str) -> str:
+    df = entry_queries.queries()[name](spark, SF_CORRECT)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_text_profile_scan_prunes_columns(spark):
+    """The profile reads 2 of 5 document columns — the scan must too."""
+    plan = _plan(spark, "text_profile")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_cosine_topk_broadcasts_query_side(spark):
+    """Query vectors are tiny — a shuffle join here would ship the
+    whole corpus; the plan must broadcast."""
+    plan = _plan(spark, "ann_cosine_topk")
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_cdc_apply_uses_partial_aggregation(spark):
+    """LWW materialization must partial-aggregate before its exchange.
+
+    max_by over a struct payload plans as SortAggregate (struct agg
+    buffers aren't hash-agg compatible) — what matters is the
+    partial → Exchange → final shape, whatever the aggregate impl.
+    """
+    plan = _plan(spark, "cdc_apply_upsert")
+    import re
+
+    aggs = [
+        m.start()
+        for m in re.finditer(r"(Sort|ObjectHash|Hash)Aggregate", plan)
+    ]
+    assert len(aggs) >= 2, "expected partial+final aggregate pair"
+
+
+def test_cohort_anti_join_is_anti(spark):
+    plan = _plan(spark, "cohort_not_exist")
+    assert "LeftAnti" in plan
+
+
+def test_events_scan_prunes_for_window_query(spark):
+    """Tumbling counts need (user_id, event_type, props, ts, event_id)
+    from events — but must NOT read the value/... columns it ignores."""
+    plan = _plan(spark, "window_tumbling")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read and all("value" not in l for l in read)
