@@ -117,68 +117,68 @@ def _turn_struct(prefix: str = "") -> "F.Column":
 def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debezium-dialect changelog (F2): op/before/after/source/seq.
 
-    One DataFrame pass per op class, unioned; each branch is pure Column
-    logic (whole-stage codegen, no Python). ``seq`` = epoch-millis change
-    order; updates land +60s, deletes +120s after the base op, so
-    last-writer-wins materialization has a total order per key.
+    SINGLE pass over the transcript table: each row conditionally emits
+    its base op ('r'/'c'), an 'u' (+60 s) and a 'd' (+120 s) as an
+    array of envelope structs → filter nulls → explode — so the
+    row_number window behind ``transcripts`` runs ONCE (a 3-branch
+    union would scan + shuffle the events table three times). ``seq`` =
+    epoch-millis change order; last-writer-wins materialization gets a
+    total order per key.
     """
     t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 != 3)
     seq0 = F.unix_millis(F.col("ts"))
     edited = F.concat(F.col("text"), F.lit(" [edited]"))
-    src = F.struct(
-        F.lit("transcripts").alias("db"), F.lit("turns").alias("table")
+    turn = _turn_struct()
+    edited_turn = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        edited.alias("text"),
+        F.col("tool"),
+        F.col("ts"),
+    )
+    null_turn = F.lit(None).cast(
+        "struct<conv_id:string,turn_idx:int,role:string,text:string,"
+        "tool:string,ts:timestamp>"
     )
 
-    base = t.select(
-        F.when(F.col("turn_idx") < 3, F.lit("r")).otherwise(F.lit("c")).alias("op"),
-        _turn_struct().alias("after"),
-        src.alias("source"),
-        seq0.alias("seq"),
-    )
-    # before is null for r/c — typed to the same struct as `after`
-    base = base.select(
-        "op",
-        F.lit(None).cast(base.schema["after"].dataType).alias("before"),
-        "after",
-        "source",
-        "seq",
-    )
+    def env(op_col, before, after, seq):
+        return F.struct(
+            op_col.alias("op"),
+            before.alias("before"),
+            after.alias("after"),
+            seq.cast("long").alias("seq"),
+        )
 
-    upd = t.where(F.col("event_id") % 10 == 7)
-    updates = upd.select(
-        F.lit("u").alias("op"),
-        _turn_struct().alias("before"),
+    base = env(
+        F.when(F.col("turn_idx") < 3, F.lit("r")).otherwise(F.lit("c")),
+        null_turn,
+        turn,
+        seq0,
+    )
+    update = F.when(
+        F.col("event_id") % 10 == 7,
+        env(F.lit("u"), turn, edited_turn, seq0 + 60000),
+    )
+    delete = F.when(
+        F.col("event_id") % 50 == 13,
+        env(
+            F.lit("d"),
+            F.when(F.col("event_id") % 10 == 7, edited_turn).otherwise(turn),
+            null_turn,
+            seq0 + 120000,
+        ),
+    )
+    events = F.filter(F.array(base, update, delete), lambda e: e.isNotNull())
+    return t.select(F.explode(events).alias("e")).select(
+        "e.op",
+        "e.before",
+        "e.after",
         F.struct(
-            F.col("conv_id"),
-            F.col("turn_idx"),
-            F.col("role"),
-            edited.alias("text"),
-            F.col("tool"),
-            F.col("ts"),
-        ).alias("after"),
-        src.alias("source"),
-        (seq0 + 60000).alias("seq"),
+            F.lit("transcripts").alias("db"), F.lit("turns").alias("table")
+        ).alias("source"),
+        "e.seq",
     )
-
-    dele = t.where(F.col("event_id") % 50 == 13)
-    deletes = dele.select(
-        F.lit("d").alias("op"),
-        F.struct(
-            F.col("conv_id"),
-            F.col("turn_idx"),
-            F.col("role"),
-            F.when(F.col("event_id") % 10 == 7, edited)
-            .otherwise(F.col("text"))
-            .alias("text"),
-            F.col("tool"),
-            F.col("ts"),
-        ).alias("before"),
-        F.lit(None).cast(updates.schema["after"].dataType).alias("after"),
-        src.alias("source"),
-        (seq0 + 120000).alias("seq"),
-    )
-
-    return base.unionByName(updates).unionByName(deletes)
 
 
 MYSQL_CHANGELOG_SQL = """
