@@ -11,10 +11,10 @@ Scale design:
   top-k via partial aggregation (Catalyst turns the rank-filter into
   WindowGroupLimit pushdown), so nothing near O(corpus) ever shuffles.
 - LSH bucketing shuffles on an int bucket key once; hot buckets are
-  split by AQE skew-join. An IVF variant (k-means centroids) would slot
-  into the same shape — centroid assignment is a broadcast join of a
-  tiny centroid table; omitted here because the sandbox has no
-  clustering fit step worth its cost at test scale.
+  split by AQE skew-join. The IVF variant (ivf_assign/ivf_topk below)
+  slots into the same shape — centroid assignment is a broadcast join
+  of a tiny centroid table (deterministic sample in-sandbox; k-means
+  output on a real cluster).
 
 Cosine kernel = fixed-order double fold (see operators/dedup.py) —
 bit-identical Spark vs DuckDB, so scores and therefore rankings match
@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import DOT_SQL, cosine, cosine_sql
+from .dedup import cosine, cosine_sql
 
 LSH_BITS = 8  # bucket = sign bits of the first 8 dimensions
 

@@ -22,8 +22,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
