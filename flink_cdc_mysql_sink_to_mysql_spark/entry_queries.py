@@ -215,6 +215,27 @@ def q_turn_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same again over salted hash(conv_id) partitions (north-star wording:
+# vectorized UDFs over salted conv_id hash partitions) — salting a
+# stateless stage is semantics-free, proven by the identical oracle
+@register("turn_events_pandas_salted", oracle=TURN_EVENTS_ORACLE)
+def q_turn_events_pandas_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = cdc.union_feeds(
+        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
+    )
+    ev = cdc.derive_turn_events_pandas(env, pre_salt_buckets=32)
+    return ev.select(
+        "conv_id",
+        "turn_idx",
+        "event_kind",
+        "event_name",
+        "source_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "seq",
+        "metric",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. sink projection (reference 8-column JDBC insert parity, F4)
 # ---------------------------------------------------------------------------

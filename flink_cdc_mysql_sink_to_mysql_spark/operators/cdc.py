@@ -193,7 +193,9 @@ def derive_turn_events(envelopes: DataFrame) -> DataFrame:
     )
 
 
-def derive_turn_events_pandas(envelopes: DataFrame) -> DataFrame:
+def derive_turn_events_pandas(
+    envelopes: DataFrame, pre_salt_buckets: int | None = None
+) -> DataFrame:
     """Identical semantics via Arrow-batched mapInPandas (the vectorized
     pandas-UDF form the input_hint mandates for deserialization logic).
 
@@ -202,7 +204,22 @@ def derive_turn_events_pandas(envelopes: DataFrame) -> DataFrame:
     expressions (e.g. tokenizer-grade text munging) and as the scale
     escape hatch; batches arrive as Arrow RecordBatches (zero-copy),
     all ops below are pandas-vectorized, never per-row Python.
+
+    ``pre_salt_buckets`` repartitions the envelopes by salted
+    hash(conv_id) first (plans/skew.py) so a hot conversation spreads
+    over N Python workers — derivation is stateless, so salting is
+    semantics-free here; results are identical (tested).
     """
+    if pre_salt_buckets:
+        from ..plans.skew import salt_col
+
+        envelopes = envelopes.repartition(
+            F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")),
+            salt_col(
+                F.coalesce(F.col("after.turn_idx"), F.col("before.turn_idx")),
+                buckets=pre_salt_buckets,
+            ),
+        )
     flat = envelopes.select(
         "op",
         F.col("before.text").alias("b_text"),
