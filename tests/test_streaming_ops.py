@@ -181,3 +181,64 @@ def test_stateful_progress_tws_matches_batch(spark, tmp_path, spool):
         map(tuple, stateful.conversation_progress_batch(turns).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_late_update_cannot_reopen_closed_session(spark, tmp_path):
+    """SURVEY §7 hard part: an update to an old turn arriving after the
+    watermark passed the session's close is DROPPED by the session state
+    store — a closed session is never reopened or re-emitted.
+
+    Spark nuance this pins: the late-events filter uses the PREVIOUS
+    batch's watermark (watermarkForLateEvents), so the drop takes effect
+    one batch after the watermark-advancing data — hence three chunks:
+    (1) the session + watermark pushers, (2) more on-time rows that
+    promote the late-events watermark, (3) the hours-late update."""
+    import datetime as dt
+
+    rows = lambda *rs: spark.createDataFrame(  # noqa: E731
+        list(rs),
+        "op string, before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, after struct<conv_id:string,"
+        "turn_idx:int,role:string,text:string,tool:string,ts:timestamp>,"
+        " source struct<db:string,table:string>, seq long",
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def turn(idx, minutes, conv="cX", text="x"):
+        return (conv, idx, "user", text, None, t0 + dt.timedelta(minutes=minutes))
+
+    src = ("transcripts", "turns")
+    spool = str(tmp_path / "spool")
+    # chunk 1: conv cX session [t0, t0+5m]; cY rows 10 HOURS later push
+    # the eviction watermark (30m delay) far past cX's session end.
+    pl.spool_dataframe(
+        rows(
+            ("c", None, turn(0, 0), src, 1),
+            ("c", None, turn(1, 5), src, 2),
+            ("c", None, turn(0, 600, "cY"), src, 3),
+            ("c", None, turn(1, 601, "cY"), src, 4),
+        ),
+        spool,
+        "chunk-001.parquet",
+    )
+    # chunk 2: on-time cY row — promotes the late-events watermark.
+    pl.spool_dataframe(
+        rows(("c", None, turn(2, 650, "cY"), src, 5)), spool, "chunk-002.parquet"
+    )
+    # chunk 3: the hours-late update to cX turn 1, + a fresh on-time row.
+    pl.spool_dataframe(
+        rows(
+            ("u", turn(1, 5), turn(1, 2, text="edited"), src, 6),
+            ("c", None, turn(3, 1200, "cY"), src, 7),
+        ),
+        spool,
+        "chunk-003.parquet",
+    )
+    out = pl.session_windows_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = {(r.conv_id, r.n_turns) for r in spark.read.parquet(out).collect()}
+    # cX's session closed with its 2 on-time turns; the late update was
+    # dropped — no reopen, no extension, no duplicate emission.
+    assert ("cX", 2) in got
+    assert sum(1 for c, _ in got if c == "cX") == 1
