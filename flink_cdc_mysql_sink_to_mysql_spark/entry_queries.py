@@ -521,6 +521,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+# numpy/BLAS matmul kernel — scores differ from the fold at ~1e-16
+# (pairwise summation), so NO SQL oracle (rows-only driver check);
+# rank-set equality vs the exact fold is pinned in tests instead.
+@register("ann_cosine_topk_numpy")
+def q_ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_topk_numpy(_emb(spark, sf_dir))
+
+
 @register(
     "dedup_embedding_cosine_lsh",
     oracle=dedup.embedding_near_dup_lsh_sql("embeddings"),

@@ -120,7 +120,9 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprints: whole-doc hash + minimum shingle hash.
 
     - ``fp`` — md5 of the whitespace-normalized lowercased text (exact-dup
-      key; the rolling-hash analog with a cross-engine-stable hash).
+      key with a cross-engine-stable hash).
+    - ``rolling_fp`` — Rabin–Karp polynomial rolling hash of the raw text
+      (:func:`rolling_hash`) — the classic incremental fingerprint.
     - ``min_shingle_fp`` — min over word-3-shingle md5s (a 1-hash MinHash;
       winnowing-style content marker), null for docs with <3 words.
 
@@ -134,10 +136,36 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.md5(norm).alias("fp"),
+        rolling_hash(t).alias("rolling_fp"),
         F.when(
             F.size(w) >= 3,
             F.array_min(F.transform(sh, lambda s: F.md5(s))),
         ).alias("min_shingle_fp"),
+    )
+
+
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(t: Column) -> Column:
+    """Rabin–Karp polynomial rolling hash over the text's characters:
+    h = fold(h*B + ascii(c)) mod p. Exact integer arithmetic (h < p ≈
+    2^30, h*B + c < 2^38 — no int64 overflow), identical in any engine.
+    Character-at-a-time lambda fold: fine at profile scale; a corpus-
+    scale variant belongs in mapInPandas (byte-level numpy)."""
+    return F.aggregate(
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+
+
+def rolling_hash_sql(t: str = "text") -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split({t}, ''), c -> CAST(ord(c) AS BIGINT))),"
+        f" (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
     )
 
 
@@ -227,6 +255,7 @@ def fingerprints_sql(rel: str) -> str:
     return f"""
     SELECT doc_id,
            md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+           {rolling_hash_sql()} AS rolling_fp,
            CASE WHEN len({_sql_words()}) >= 3
                 THEN list_min(list_transform({sh}, s -> md5(s)))
            END AS min_shingle_fp

@@ -135,6 +135,62 @@ def lsh_topk(emb: DataFrame, k: int = 5, every: int = 100) -> DataFrame:
     )
 
 
+def cosine_topk_numpy(
+    emb: DataFrame, k: int = 5, every: int = 100
+) -> DataFrame:
+    """Brute-force top-k via an Arrow-batched numpy kernel (mapInPandas).
+
+    The realistic fast path at scale: queries collect to a small
+    normalized matrix broadcast to every worker; each Arrow batch of
+    corpus vectors becomes one BLAS matmul (batch × queries) — orders of
+    magnitude faster per row than the per-element fold, with identical
+    rankings. numpy's pairwise summation differs from the sequential
+    fold at ~1e-16, so scores are not BIT-identical to the DuckDB fold —
+    this variant therefore registers with a rows-only driver check, and
+    tests assert rank-set equality against :func:`cosine_topk`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.where(F.col("vec_id") % every == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = emb.sparkSession.sparkContext
+    b_qids, b_qm = sc.broadcast(q_ids), sc.broadcast(qm)
+
+    def _score(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            cos = m @ b_qm.value.T  # (batch, nq)
+            nq = len(b_qids.value)
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(b_qids.value, len(ids)),
+                    "vec_id": np.tile(ids, nq),
+                    "cos": cos.T.reshape(-1),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _score, schema="q_id long, vec_id long, cos double"
+    ).where(F.col("q_id") != F.col("vec_id"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", "cos", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 CENTROID_EVERY = 101  # deterministic centroid sample: vec_id % 101 == 0
 
 

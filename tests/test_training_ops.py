@@ -167,3 +167,28 @@ def test_frame_sample_counts(spark):
     }
     got = frames.groupby("doc_id").size().to_dict()
     assert got == expected
+
+
+def test_numpy_topk_ranks_match_exact_fold(spark):
+    """The BLAS-kernel ANN must produce the same (q_id, vec_id, rank)
+    set as the exact-fold baseline (scores differ only at ~1e-16)."""
+    exact = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in similarity.cosine_topk(_emb(spark)).collect()
+    }
+    fast = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in similarity.cosine_topk_numpy(_emb(spark)).collect()
+    }
+    assert fast == exact and len(fast) > 0
+
+
+def test_rolling_fingerprint_detects_any_edit(spark):
+    """Polynomial rolling hash changes under any single-char edit
+    (position-sensitive, unlike bag-of-words fingerprints)."""
+    df = spark.createDataFrame(
+        [(1, "abc def"), (2, "abd cef"), (3, "abc def")],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: r.rolling_fp for r in textfn.fingerprints(df).collect()}
+    assert fps[1] == fps[3] and fps[1] != fps[2]
