@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "text_quality",
     "ann_cosine_topk",
+    "ann_cosine_topk_numpy",
     "ann_lsh_topk",
     "multimodal_features",
 ]
