@@ -177,10 +177,12 @@ def windowed_counts_stream(
     checkpoint_dir: str,
     window: str = "10 minutes",
     watermark_delay: str = "30 minutes",
+    slide: str | None = None,
 ):
-    """Event-time tumbling counts per conv_id with a real watermark —
-    late rows beyond the delay are dropped by the state store (the
-    north-rule late-data semantics; the reference has none, SURVEY §2.8).
+    """Event-time tumbling (or, with ``slide``, sliding) counts per
+    conv_id with a real watermark — late rows beyond the delay are
+    dropped by the state store (the north-rule late-data semantics; the
+    reference has none, SURVEY §2.8).
 
     Append-mode parquet output: a window only emits once its watermark
     passes — restart-safe via the checkpoint.
@@ -190,9 +192,12 @@ def windowed_counts_stream(
         F.col("after.conv_id").alias("conv_id"),
         F.col("after.ts").alias("ts"),
     )
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
     agg = (
         turns.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window).alias("win"), "conv_id")
+        .groupBy(win.alias("win"), "conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(
             F.col("win.start").alias("win_start"),

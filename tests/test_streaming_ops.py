@@ -242,3 +242,35 @@ def test_late_update_cannot_reopen_closed_session(spark, tmp_path):
     # dropped — no reopen, no extension, no duplicate emission.
     assert ("cX", 2) in got
     assert sum(1 for c, _ in got if c == "cX") == 1
+
+
+def test_sliding_windows_stream_matches_batch(spark, tmp_path, spool):
+    """Sliding variant of the windowed stream equals the batch sliding
+    counts for windows closed by the final watermark."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import windows
+
+    out = pl.windowed_counts_stream(
+        spark,
+        spool,
+        str(tmp_path / "out_sl"),
+        str(tmp_path / "ck_sl"),
+        window="10 minutes",
+        slide="5 minutes",
+    )
+    got = {
+        (r.s, r.conv_id, r.n_turns)
+        for r in spark.read.parquet(out)
+        .select(
+            F.unix_millis("win_start").alias("s"), "conv_id", "n_turns"
+        )
+        .collect()
+    }
+    max_ts = _turns_batch(spark).agg(F.max(F.unix_millis("ts"))).collect()[0][0]
+    final_wm = max_ts - 30 * 60 * 1000
+    want = {
+        (r.win_start_ms, r.conv_id, r.n_turns)
+        for r in windows.sliding_counts(_turns_batch(spark)).collect()
+        # append mode: only windows whose END the watermark passed emit
+        if r.win_start_ms + 10 * 60 * 1000 <= final_wm
+    }
+    assert got == want and len(got) > 0
