@@ -35,6 +35,7 @@ sys.path.insert(
 from pyspark.sql import SparkSession  # noqa: E402
 
 from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
+    mongo_changelog,
     mysql_changelog,
 )
 from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl  # noqa: E402
@@ -48,6 +49,11 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--chunks", type=int, default=4)
+    ap.add_argument(
+        "--with-mongo",
+        action="store_true",
+        help="also stream the Mongo-dialect feed and union (U1)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("changelog-apply").getOrCreate()
@@ -61,11 +67,21 @@ def main() -> None:
     # spool the bounded changelog once (idempotent: skip if present)
     if not os.path.isdir(spool) or not os.listdir(spool):
         pl.spool_changelog(mysql_changelog(spark, args.sf_dir), spool, args.chunks)
+    mongo_spool = None
+    if args.with_mongo:
+        mongo_spool = os.path.join(args.workdir, "spool_mongo")
+        if not os.path.isdir(mongo_spool) or not os.listdir(mongo_spool):
+            pl.spool_changelog(
+                mongo_changelog(spark, args.sf_dir),
+                mongo_spool,
+                args.chunks,
+                order_by="fullDocument.create_time.date",
+            )
 
     lineage = os.path.join(args.workdir, "lineage.jsonl")
     prior = sum(1 for _ in open(lineage)) if os.path.exists(lineage) else 0
     pl.materialize_stream(
-        spark, spool, sink, ckpt, lineage_path=lineage
+        spark, spool, sink, ckpt, lineage_path=lineage, mongo_spool_dir=mongo_spool
     )
 
     snap = sink.snapshot(spark)

@@ -39,10 +39,7 @@ def spark():
 def duck():
     import duckdb
 
-    con = duckdb.connect()
-    for sf in (SF_SMOKE, SF_CORRECT):
-        pass
-    return con
+    return duckdb.connect()
 
 
 def register_views(con, sf_dir: str) -> None:
