@@ -48,7 +48,16 @@ _ORACLES: dict[str, str] = {}
 
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Event-time semantics must not depend on the caller's host
+            # zone: parquet ts is NTZ, and the NTZ→timestamp cast reads
+            # the SESSION tz — pin UTC so epoch values always match the
+            # DuckDB oracle's naive-as-UTC epoch_ms, whatever session
+            # the driver hands us. (Runtime conf; safe to set per call.)
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            return fn(spark, sf_dir)
+
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
