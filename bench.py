@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "text_quality",
+    "corpus_curation",
     "ann_cosine_topk",
     "ann_cosine_topk_numpy",
     "ann_lsh_topk",

@@ -511,6 +511,46 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(_emb(spark, sf_dir))
 
 
+# capstone: the canonical curation pipeline — quality filter + near-dup
+# removal (keep the lowest doc_id of each dup pair) → per-language
+# corpus token stats. Composes text_profile + minhash_lsh end to end.
+@register(
+    "corpus_curation",
+    oracle=f"""
+    WITH p AS ({textfn.text_profile_sql('documents')}),
+         dup_losers AS (
+           SELECT DISTINCT doc_b AS doc_id
+           FROM ({dedup.jaccard_pairs_sql('documents')})
+         ),
+         kept AS (
+           SELECT p.* FROM p
+           WHERE p.quality_score >= 60 AND p.n_words >= 20
+             AND p.doc_id NOT IN (SELECT doc_id FROM dup_losers)
+         )
+    SELECT lang_pred, CAST(COUNT(*) AS INTEGER) AS n_docs,
+           SUM(n_bpe_tokens) AS total_bpe_tokens,
+           SUM(n_chars) AS total_chars
+    FROM kept GROUP BY lang_pred
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    p = textfn.text_profile(docs)
+    losers = (
+        dedup.minhash_lsh_pairs(docs)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    kept = p.where(
+        (F.col("quality_score") >= 60) & (F.col("n_words") >= 20)
+    ).join(losers, "doc_id", "left_anti")
+    return kept.groupBy("lang_pred").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("total_bpe_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 10. similarity search (brute-force cosine top-k; LSH-bucketed ANN)
 # ---------------------------------------------------------------------------
