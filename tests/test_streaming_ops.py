@@ -274,3 +274,37 @@ def test_sliding_windows_stream_matches_batch(spark, tmp_path, spool):
         if r.win_start_ms + 10 * 60 * 1000 <= final_wm
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_cohort_matches_batch(spark, tmp_path, spool):
+    """Continuously-maintained cohort (update-mode stats + changelog
+    materialization) equals the one-shot batch cohort after drain."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, cohort
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import cohort_stream
+
+    now = "2024-01-30 00:00:00"
+    rule = cohort.CohortRule(
+        target=1,
+        is_exist=True,
+        value_days=14,
+        sub_params=(
+            cohort.SubParam(2, 2, 2),
+            cohort.SubParam(1, 0, 100),
+            cohort.SubParam(3, 3, 5000),
+        ),
+    )
+    delta = cohort_stream.cohort_stats_stream(
+        spark, spool, rule, now, str(tmp_path / "coh")
+    )
+    got = {
+        r.conv_id
+        for r in cohort_stream.cohort_members(spark, delta, rule).collect()
+    }
+    env = mysql_changelog(spark, SF)
+    want = {
+        r.conv_id
+        for r in cohort.exist_conv_ids(
+            cdc.derive_turn_events(env), rule, now
+        ).collect()
+    }
+    assert got == want and len(got) > 0
