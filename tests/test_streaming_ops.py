@@ -308,3 +308,26 @@ def test_incremental_cohort_matches_batch(spark, tmp_path, spool):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_incremental_cohort_resumes_from_checkpoint(spark, tmp_path, spool):
+    """Re-running the cohort stats stream with the same checkpoint and
+    no new spool data processes nothing (no duplicate deltas); appending
+    a new chunk updates only affected conversations."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cohort
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import cohort_stream
+
+    now = "2024-01-30 00:00:00"
+    rule = cohort.CohortRule(target=1, is_exist=True, value_days=14)
+    wd = str(tmp_path / "coh")
+    delta = cohort_stream.cohort_stats_stream(spark, spool, rule, now, wd)
+    n1 = spark.read.parquet(delta).count()
+    # resume with nothing new → zero new delta rows
+    cohort_stream.cohort_stats_stream(spark, spool, rule, now, wd)
+    n2 = spark.read.parquet(delta).count()
+    assert n2 == n1
+    members_before = {
+        r.conv_id
+        for r in cohort_stream.cohort_members(spark, delta, rule).collect()
+    }
+    assert len(members_before) > 0
