@@ -139,7 +139,9 @@ def exist_conv_ids_salted(
         _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
         for i, sp in enumerate(rule.sub_params)
     ]
-    out = salted_agg(df, ["conv_id"], aggs, buckets=buckets)
+    # salt on seq — varies per event within a conversation, so the hot
+    # conv's partial-agg rows really span `buckets` groups (plans/skew.py)
+    out = salted_agg(df, ["conv_id"], aggs, buckets=buckets, salt_source="seq")
     having = reduce(lambda a, b: a & b, conds)
     return out.where(having).select("conv_id")
 

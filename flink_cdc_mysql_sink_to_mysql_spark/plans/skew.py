@@ -45,8 +45,20 @@ def repartition_salted(
     df: DataFrame, key: str, buckets: int = 32, secondary: str | None = None
 ) -> DataFrame:
     """Repartition by (hash(key), salt) so a hot key spans `buckets`
-    partitions. For stateless downstream stages only."""
-    salt = salt_col(key, *( [secondary] if secondary else [] ), buckets=buckets)
+    partitions. For stateless downstream stages only.
+
+    ``secondary`` is REQUIRED and must vary *within* a key: a salt
+    derived from the key alone hashes every row of the hot key to the
+    same bucket — (key, salt) would have exactly the same groups as the
+    key itself, i.e. zero spreading (round-1 advisor finding).
+    """
+    if secondary is None:
+        raise ValueError(
+            "repartition_salted needs a `secondary` column that varies "
+            "within a key (e.g. turn_idx/ts/seq); salting by the key "
+            "alone spreads nothing"
+        )
+    salt = salt_col(key, secondary, buckets=buckets)
     return df.repartition(F.col(key), salt)
 
 
@@ -65,14 +77,28 @@ def salted_agg(
     {sum, count, min, max}. Result is row-identical to the direct
     groupBy (algebraic aggregates), verified in tests/test_skew.py.
 
+    ``salt_source`` is REQUIRED and must vary within a key (turn_idx,
+    ts, seq, the aggregated value...): a salt derived from the group key
+    gives every row of a key the same salt, so groupBy(keys+salt) has
+    exactly the same groups as groupBy(keys) and the two-phase plan
+    spreads nothing (round-1 advisor finding — the equality test can't
+    catch it because equality is then trivial; the spread itself is now
+    asserted in tests/test_skew.py::test_salted_agg_spreads_hot_key).
+
     count re-aggregates as sum in the final phase; the others are
     idempotent under re-application.
     """
     unknown = {fn for fn, _ in aggs.values()} - _ALGEBRAIC
     if unknown:
         raise ValueError(f"non-algebraic aggregate(s): {sorted(unknown)}")
+    if salt_source is None or salt_source in keys:
+        raise ValueError(
+            "salted_agg needs a `salt_source` column that varies within "
+            f"a key (got {salt_source!r}); salting by the group key "
+            "alone yields the same groups as the unsalted plan"
+        )
 
-    salt = salt_col(salt_source or keys[0], buckets=buckets)
+    salt = salt_col(salt_source, buckets=buckets)
     partial_exprs = [
         getattr(F, fn)(col).alias(name) for name, (fn, col) in aggs.items()
     ]

@@ -78,16 +78,21 @@ def main() -> None:
                 order_by="fullDocument.create_time.date",
             )
 
+    def _lineage_lines(path: str) -> int:
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return sum(1 for _ in f)
+
     lineage = os.path.join(args.workdir, "lineage.jsonl")
-    prior = sum(1 for _ in open(lineage)) if os.path.exists(lineage) else 0
+    prior = _lineage_lines(lineage)
     pl.materialize_stream(
         spark, spool, sink, ckpt, lineage_path=lineage, mongo_spool_dir=mongo_spool
     )
 
     snap = sink.snapshot(spark)
     n = snap.count()
-    total = sum(1 for _ in open(lineage)) if os.path.exists(lineage) else 0
-    batches = total - prior
+    batches = _lineage_lines(lineage) - prior
     print(
         json.dumps(
             {

@@ -43,6 +43,7 @@ def test_salted_agg_equals_direct(spark, skewed):
                 "mx": ("max", "v"),
             },
             buckets=16,
+            salt_source="v",
         ).collect()
     }
     assert salted == direct
@@ -50,7 +51,35 @@ def test_salted_agg_equals_direct(spark, skewed):
 
 def test_salted_agg_rejects_non_algebraic(skewed):
     with pytest.raises(ValueError):
-        skew.salted_agg(skewed, ["key"], {"a": ("avg", "v")})
+        skew.salted_agg(
+            skewed, ["key"], {"a": ("avg", "v")}, salt_source="v"
+        )
+
+
+def test_salted_agg_requires_within_key_salt(skewed):
+    """A salt derived from the group key itself spreads nothing — the
+    partial phase would have exactly the groups of the final phase."""
+    with pytest.raises(ValueError):
+        skew.salted_agg(skewed, ["key"], {"s": ("sum", "v")})
+    with pytest.raises(ValueError):
+        skew.salted_agg(skewed, ["key"], {"s": ("sum", "v")}, salt_source="key")
+
+
+def test_salted_agg_spreads_hot_key(spark, skewed):
+    """The hot key's partial-agg rows must span >1 (key, salt) group —
+    the property the round-1 advisor showed the equality test misses."""
+    partial = (
+        skewed.withColumn("_salt", skew.salt_col("v", buckets=16))
+        .groupBy("key", "_salt")
+        .agg(F.sum("v").alias("s"))
+    )
+    n_groups = partial.where(F.col("key") == "hot").count()
+    assert n_groups > 1, "hot key collapsed to a single salted group"
+
+
+def test_repartition_salted_requires_secondary(skewed):
+    with pytest.raises(ValueError):
+        skew.repartition_salted(skewed, "key", buckets=16)
 
 
 def test_repartition_salted_spreads_hot_key(spark, skewed):
