@@ -89,10 +89,64 @@ def run_scaling(sf_dir: str, cpus_hi: int) -> dict:
     return measure_scaling(sf_dir)
 
 
+def run_merge_amplification(cpus: int) -> dict:
+    """Commit cost vs touched-bucket fraction for the MERGE shim.
+
+    Preloads the sink with a wide table (many conv_ids), then merges a
+    SMALL batch touching few conv_ids, at n_buckets 32 vs 256. With 256
+    buckets the touched fraction — and therefore the rewrite cost —
+    drops ∝ n_buckets, demonstrating commit cost ∝ batch footprint
+    (streaming/sink.py module doc sizing rule).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.session import get_spark
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+    spark = get_spark(app_name="bench-merge", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    base = synth_envelopes(spark, 2_000_000).cache()
+    base.count()
+    # a narrow micro-batch: the trickle case — 8 active conversations
+    # (commit cost should track THIS footprint, not table size)
+    active = [f"c{i}" for i in range(8)]
+    key = F.coalesce(F.col("after.conv_id"), F.col("before.conv_id"))
+    small = base.where(key.isin(active)).cache()
+    small.count()
+
+    out: dict = {}
+    for n_buckets in (32, 256):
+        root = tempfile.mkdtemp(prefix=f"merge-amp-{n_buckets}-")
+        sink = MergeParquetSink(root, n_buckets=n_buckets)
+        load = sink.merge_changelog(base, epoch_id=0)
+        commit = sink.merge_changelog(small, epoch_id=1)
+        out[f"n_buckets_{n_buckets}"] = {
+            "preload_wall_s": load["wall_s"],
+            "small_batch_wall_s": commit["wall_s"],
+            "small_batch_rows": commit["delta_rows"],
+            "buckets_rewritten": commit["buckets_rewritten"],
+            "touched_fraction": round(
+                commit["buckets_rewritten"] / n_buckets, 3
+            ),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    base.unpersist()
+    small.unpersist()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if "--merge-amplification" in sys.argv:
+        print(json.dumps(run_merge_amplification(cpus)))
+        return
 
     times = run(sf_dir, cpus)
     out = {
@@ -105,6 +159,8 @@ def main() -> None:
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
         out["scaling"] = run_scaling(sf_dir, cpus)
+    if os.environ.get("SPARK_GRAFT_BENCH_MERGE"):
+        out["merge_amplification"] = run_merge_amplification(cpus)
     print(json.dumps(out))
 
 

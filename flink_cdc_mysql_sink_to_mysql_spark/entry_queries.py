@@ -155,8 +155,19 @@ WITH my AS ({MYSQL_CHANGELOG_SQL}),
                    WHEN 'tool' THEN 3 WHEN 'system' THEN 4 END AS kind
        FROM my
        WHERE op IN ('r','c','u') AND ts IS NOT NULL
+         AND NOT (op = 'r' AND before_text IS NOT NULL)
          AND (op != 'u' OR before_text IS NULL OR after_text IS NULL
               OR before_text != after_text)
+     ),
+     hist AS (
+       -- D5 historical pair: snapshot rows carrying their own edit
+       SELECT conv_id, turn_idx, before_text, before_ts,
+              after_text, ts, seq,
+              CASE role WHEN 'user' THEN 1 WHEN 'assistant' THEN 2
+                   WHEN 'tool' THEN 3 WHEN 'system' THEN 4 END AS kind
+       FROM my
+       WHERE op = 'r' AND before_text IS NOT NULL
+         AND before_ts IS NOT NULL AND ts IS NOT NULL
      ),
      mysql_events AS (
        SELECT conv_id, turn_idx, kind AS event_kind, text, ts, seq FROM base
@@ -164,6 +175,12 @@ WITH my AS ({MYSQL_CHANGELOG_SQL}),
        UNION ALL
        SELECT conv_id, turn_idx, 5, text, ts, seq FROM base
        WHERE role = 'tool' AND text IS NOT NULL AND kind IS NOT NULL
+       UNION ALL
+       SELECT conv_id, turn_idx, kind, before_text, before_ts, seq FROM hist
+       WHERE kind IS NOT NULL
+       UNION ALL
+       SELECT conv_id, turn_idx, 6, after_text, ts, seq FROM hist
+       WHERE kind IS NOT NULL
      ),
      mongo_events AS (
        SELECT conv_id, turn_idx, 10 AS event_kind, text,
@@ -175,7 +192,8 @@ WITH my AS ({MYSQL_CHANGELOG_SQL}),
 SELECT conv_id, turn_idx, event_kind,
        CASE event_kind WHEN 1 THEN 'user_turn' WHEN 2 THEN 'assistant_turn'
             WHEN 3 THEN 'tool_turn' WHEN 4 THEN 'system_turn'
-            WHEN 5 THEN 'tool_result' WHEN 10 THEN 'external_turn' END AS event_name,
+            WHEN 5 THEN 'tool_result' WHEN 6 THEN 'turn_edited'
+            WHEN 10 THEN 'external_turn' END AS event_name,
        conv_id || '#' || CAST(turn_idx AS VARCHAR) AS source_id,
        epoch_ms(ts) AS ts_ms, seq,
        CAST(length(text) AS BIGINT) AS metric

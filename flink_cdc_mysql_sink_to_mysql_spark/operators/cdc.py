@@ -13,6 +13,15 @@ transcript domain, preserving its structural quirks:
   emits an event typed by the turn's base kind, not an "edit" kind, and
   only when ``before.text != after.text`` (analog of the
   delete_status-changed guard `:244-248`).
+- **historical pair** (D5 `op='r'` with delete_status=DELETED emits
+  COLLECT@create_time + UN_COLLECT@update_time,
+  `UserBehaviorDebeziumDeserializer.java:157-192`): a snapshot row
+  whose ``before`` image is non-null carries an edit that pre-dates the
+  connector start; it emits its own 2-event history — the base kind at
+  ``before.ts`` (original text) plus ``turn_edited`` (kind 6, the
+  UN_COLLECT counterpart) at ``after.ts`` (edited text). Either ts null
+  → the whole record drops (the reference's swallowed-NPE covers both
+  emissions, `:72-74,165,171`).
 - **deletes ignored at derivation** (reference never handles op='d'):
   the materialization layer (north rule) handles 'd'; the event stream
   does not.
@@ -27,6 +36,7 @@ transcript domain, preserving its structural quirks:
 
 Event kinds (transcript analog of behavior_type 1..10):
 1=user_turn 2=assistant_turn 3=tool_turn 4=system_turn 5=tool_result
+6=turn_edited (historical-pair counterpart, analog of UN_COLLECT bt 7/9)
 10=external_turn (mongo feed, analog of COMMENT bt=10).
 """
 
@@ -55,6 +65,7 @@ KIND_NAME = {
     3: "tool_turn",
     4: "system_turn",
     5: "tool_result",
+    6: "turn_edited",
     10: "external_turn",
 }
 
@@ -140,7 +151,17 @@ def derive_turn_events(envelopes: DataFrame) -> DataFrame:
     b = F.col("before")
     base_kind = F.coalesce(F.col("_kind_override"), _kind_col(a["role"]))
 
-    emit_insert = F.col("op").isin("r", "c") & a["ts"].isNotNull()
+    # D5 historical pair: a snapshot row carrying its own pre-snapshot
+    # edit (op='r', before non-null) emits a 2-event history instead of
+    # one insert event; if EITHER timestamp is null the whole record
+    # drops (the reference's per-record NPE swallow covers both
+    # emissions, UserBehaviorDebeziumDeserializer.java:72-74,165,171).
+    is_hist_row = (F.col("op") == "r") & b.isNotNull()
+    emit_hist = is_hist_row & b["ts"].isNotNull() & a["ts"].isNotNull()
+
+    emit_insert = (
+        F.col("op").isin("r", "c") & a["ts"].isNotNull() & ~is_hist_row
+    )
     # D5-quirk analog: update emits the BASE kind (not an edit kind) and
     # only when the text actually changed (guard :244-248, quirk :258-264).
     emit_update = (
@@ -166,7 +187,9 @@ def derive_turn_events(envelopes: DataFrame) -> DataFrame:
         "_kind_override"
     ).isNotNull()
 
-    def _event(kind_col, when_col):
+    def _event(kind_col, when_col, text_col=None, ts_col=None):
+        text_col = a["text"] if text_col is None else text_col
+        ts_col = a["ts"] if ts_col is None else ts_col
         return F.when(
             when_col & known_role,
             F.struct(
@@ -177,15 +200,19 @@ def derive_turn_events(envelopes: DataFrame) -> DataFrame:
                 F.concat(
                     a["conv_id"], F.lit("#"), a["turn_idx"].cast("string")
                 ).alias("source_id"),
-                a["ts"].alias("ts"),
+                ts_col.alias("ts"),
                 F.col("seq").cast("long").alias("seq"),
-                F.length(a["text"]).cast(DecimalType(18, 2)).alias("metric"),
+                F.length(text_col).cast(DecimalType(18, 2)).alias("metric"),
             ),
         )
 
     events = F.array(
         _event(base_kind, emit_insert | emit_update),
         _event(F.lit(5), emit_pair),
+        # historical pair: base kind @ before (original), turn_edited(6)
+        # @ after (edit) — two timestamps, like COLLECT/UN_COLLECT
+        _event(base_kind, emit_hist, text_col=b["text"], ts_col=b["ts"]),
+        _event(F.lit(6), emit_hist),
     )
     return (
         df.select(F.explode(F.filter(events, lambda e: e.isNotNull())).alias("e"))
@@ -222,7 +249,9 @@ def derive_turn_events_pandas(
         )
     flat = envelopes.select(
         "op",
+        F.col("before").isNotNull().alias("has_before"),
         F.col("before.text").alias("b_text"),
+        F.col("before.ts").alias("b_ts"),
         F.col("after.conv_id").alias("conv_id"),
         F.col("after.turn_idx").cast("int").alias("turn_idx"),
         F.col("after.role").alias("role"),
@@ -241,7 +270,8 @@ def derive_turn_events_pandas(
             kind = pdf["role"].map(ROLE_KIND)
             kind = pdf["kind_override"].fillna(kind)
             known = kind.notna() & pdf["ts"].notna()
-            ins = pdf["op"].isin(["r", "c"]) & known
+            hist_row = (pdf["op"] == "r") & pdf["has_before"]
+            ins = pdf["op"].isin(["r", "c"]) & known & ~hist_row
             upd = (
                 (pdf["op"] == "u")
                 & known
@@ -257,8 +287,16 @@ def derive_turn_events_pandas(
                 & pdf["text"].notna()
                 & pdf["kind_override"].isna()
             )
+            # D5 historical pair: both timestamps must exist or the whole
+            # record drops (reference swallowed-NPE semantics)
+            hist = hist_row & kind.notna() & pdf["b_ts"].notna() & pdf["ts"].notna()
 
-            def mk(mask: pd.Series, kcol: pd.Series) -> pd.DataFrame:
+            def mk(
+                mask: pd.Series,
+                kcol: pd.Series,
+                text_col: str = "text",
+                ts_col: str = "ts",
+            ) -> pd.DataFrame:
                 s = pdf[mask]
                 k = kcol[mask].astype("int64")
                 return pd.DataFrame(
@@ -270,14 +308,22 @@ def derive_turn_events_pandas(
                         "source_id": s["conv_id"]
                         + "#"
                         + s["turn_idx"].astype("int64").astype(str),
-                        "ts": s["ts"],
+                        "ts": s[ts_col],
                         "seq": s["seq"].astype("int64"),
-                        "metric": s["text"].str.len().astype("float64"),
+                        "metric": s[text_col].str.len().astype("float64"),
                     }
                 )
 
+            five = pd.Series(5.0, index=pdf.index)
+            six = pd.Series(6.0, index=pdf.index)
             out = pd.concat(
-                [mk(ins | upd, kind), mk(pair, pd.Series(5.0, index=pdf.index))],
+                [
+                    mk(ins | upd, kind),
+                    mk(pair, five),
+                    # base kind @ before.ts (original), kind 6 @ after.ts
+                    mk(hist, kind, text_col="b_text", ts_col="b_ts"),
+                    mk(hist, six),
+                ],
                 ignore_index=True,
             )
             yield out

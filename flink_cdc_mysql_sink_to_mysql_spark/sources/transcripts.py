@@ -24,8 +24,16 @@ Changelog feeds (mirror the reference's two CDC dialects):
    `UserBehaviorDebeziumDeserializer.java:42-78`): rows with
    ``event_id % 7 != 3``. Every row emits a base op ('r' for
    ``turn_idx < 3`` — the snapshot phase — else 'c'); rows with
-   ``event_id % 10 = 7`` additionally emit an 'u' 60s later editing
-   ``text``; rows with ``event_id % 50 = 13`` additionally emit a 'd'
+   ``event_id % 10 = 7`` were *edited*: if they are past the snapshot
+   boundary (``turn_idx >= 3``) the edit arrives as a separate 'u'
+   envelope 60 s later; if they fall INSIDE the snapshot
+   (``turn_idx < 3``) the edit pre-dates the connector start, so there
+   is no binlog event for it — instead the snapshot 'r' row carries its
+   own history: ``before`` = the original turn, ``after`` = the edited
+   turn at ts+60 s (the D5 historical-pair shape, `op='r'` +
+   delete_status=DELETED emitting COLLECT@create_time +
+   UN_COLLECT@update_time, UserBehaviorDebeziumDeserializer.java:
+   157-192). Rows with ``event_id % 50 = 13`` additionally emit a 'd'
    120s later. ``seq`` (epoch millis) totally orders the changelog per
    key, mirroring binlog order.
 
@@ -128,14 +136,25 @@ def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 != 3)
     seq0 = F.unix_millis(F.col("ts"))
     edited = F.concat(F.col("text"), F.lit(" [edited]"))
+    is_snap = F.col("turn_idx") < 3
+    is_edit = F.col("event_id") % 10 == 7
+    is_hist = is_snap & is_edit  # edit pre-dates the snapshot boundary
     turn = _turn_struct()
-    edited_turn = F.struct(
-        F.col("conv_id"),
-        F.col("turn_idx"),
-        F.col("role"),
-        edited.alias("text"),
-        F.col("tool"),
-        F.col("ts"),
+
+    def edited_turn_at(ts_col):
+        return F.struct(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            edited.alias("text"),
+            F.col("tool"),
+            ts_col.alias("ts"),
+        )
+
+    edited_turn = edited_turn_at(F.col("ts"))
+    # the historical snapshot's "update_time": 60 s past the original
+    edited_turn_snap = edited_turn_at(
+        F.timestamp_millis(F.unix_millis(F.col("ts")) + 60000)
     )
     null_turn = F.lit(None).cast(
         "struct<conv_id:string,turn_idx:int,role:string,text:string,"
@@ -151,20 +170,21 @@ def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     base = env(
-        F.when(F.col("turn_idx") < 3, F.lit("r")).otherwise(F.lit("c")),
-        null_turn,
-        turn,
+        F.when(is_snap, F.lit("r")).otherwise(F.lit("c")),
+        # D5 historical pair: the snapshot row carries its own history
+        F.when(is_hist, turn).otherwise(null_turn),
+        F.when(is_hist, edited_turn_snap).otherwise(turn),
         seq0,
     )
     update = F.when(
-        F.col("event_id") % 10 == 7,
+        is_edit & ~is_snap,
         env(F.lit("u"), turn, edited_turn, seq0 + 60000),
     )
     delete = F.when(
         F.col("event_id") % 50 == 13,
         env(
             F.lit("d"),
-            F.when(F.col("event_id") % 10 == 7, edited_turn).otherwise(turn),
+            F.when(is_edit, edited_turn).otherwise(turn),
             null_turn,
             seq0 + 120000,
         ),
@@ -183,19 +203,23 @@ def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MYSQL_CHANGELOG_SQL = """
 WITH t AS ({transcripts} ),
-     f AS (SELECT * FROM t WHERE event_id % 7 != 3)
+     f AS (SELECT *, (turn_idx < 3 AND event_id % 10 = 7) AS is_hist
+           FROM t WHERE event_id % 7 != 3)
 SELECT CASE WHEN turn_idx < 3 THEN 'r' ELSE 'c' END AS op,
-       NULL AS before_text, text AS after_text,
-       conv_id, turn_idx, role, tool, ts,
+       CASE WHEN is_hist THEN text END AS before_text,
+       CASE WHEN is_hist THEN ts END AS before_ts,
+       CASE WHEN is_hist THEN text || ' [edited]' ELSE text END AS after_text,
+       conv_id, turn_idx, role, tool,
+       CASE WHEN is_hist THEN ts + INTERVAL 60 SECOND ELSE ts END AS ts,
        epoch_ms(ts) AS seq
 FROM f
 UNION ALL
-SELECT 'u', text, text || ' [edited]', conv_id, turn_idx, role, tool, ts,
+SELECT 'u', text, ts, text || ' [edited]', conv_id, turn_idx, role, tool, ts,
        epoch_ms(ts) + 60000
-FROM f WHERE event_id % 10 = 7
+FROM f WHERE event_id % 10 = 7 AND turn_idx >= 3
 UNION ALL
 SELECT 'd',
-       CASE WHEN event_id % 10 = 7 THEN text || ' [edited]' ELSE text END,
+       CASE WHEN event_id % 10 = 7 THEN text || ' [edited]' ELSE text END, ts,
        NULL, conv_id, turn_idx, role, tool, ts,
        epoch_ms(ts) + 120000
 FROM f WHERE event_id % 50 = 13

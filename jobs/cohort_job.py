@@ -10,10 +10,10 @@ batched id-set sink; SURVEY.md §3.2).
 
 Evaluates the reference's two inline fixture rules (REFERENCE_RULES —
 the only "source" job 3 has) over the derived turn-event table and
-writes one conv_id set per rule — the Iceberg/parquet analog of the
-Redis SADD sink (`UserGroupClickHouseJob.java:172-174`); the 10k
-chunking pre-sink is unnecessary here (partition-parallel writes,
-SURVEY §2.6 K3). Prints ONE JSON summary line.
+writes each cohort twice: as a parquet table (the Iceberg-analog) AND
+through the K2/K3 external-set sink — a per-partition lifecycle-managed
+client issuing ≤10k-id chunked SADDs (`UserGroupClickHouseJob.java:
+144-151,154-188`; streaming/set_sink.py). Prints ONE JSON summary line.
 """
 
 from __future__ import annotations
@@ -34,6 +34,9 @@ from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E
     mongo_changelog,
     mysql_changelog,
     transcripts,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.set_sink import (  # noqa: E402
+    sadd_sink,
 )
 
 
@@ -60,13 +63,22 @@ def main() -> None:
     members = transcripts(spark, args.sf_dir).select("conv_id").distinct()
 
     sizes = {}
+    store_root = os.path.join(args.workdir, "set_store")
     for i, rule in enumerate(cohort.REFERENCE_RULES):
         out = cohort.evaluate_rule(members, events, rule, args.now)
         path = os.path.join(args.workdir, f"cohort_rule_{i}")
         out.write.mode("overwrite").parquet(path)
         sizes[f"rule_{i}"] = spark.read.parquet(path).count()
+        # K2/K3 analog: lifecycle-managed per-partition client, ≤10k
+        # chunked SADD into the (fake, file-backed) external set store —
+        # UserGroupClickHouseJob.java:144-151,154-188
+        sadd_sink(out, store_root, key=f"cohort:rule{i}")
 
-    print(json.dumps({"cohorts": sizes, "workdir": args.workdir}))
+    print(
+        json.dumps(
+            {"cohorts": sizes, "workdir": args.workdir, "set_store": store_root}
+        )
+    )
     spark.stop()
 
 

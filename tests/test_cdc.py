@@ -132,13 +132,58 @@ def test_delete_and_null_ts_dropped(spark):
     assert cdc.derive_turn_events(df).count() == 0
 
 
+def test_historical_pair_snapshot_row_emits_two_event_history(spark):
+    """D5 historical pair (UserBehaviorDebeziumDeserializer.java:157-192):
+    op='r' with a non-null before image emits base-kind @ before.ts +
+    turn_edited(6) @ after.ts — two events, two timestamps; a null ts on
+    EITHER side drops the whole record (swallowed-NPE covers both)."""
+    t1 = T0 + dt.timedelta(minutes=1)
+    df = env_df(
+        spark,
+        [
+            (
+                "r",
+                turn(idx=0, role="user", text="orig", ts=T0),
+                turn(idx=0, role="user", text="orig [edited]", ts=t1),
+                SRC,
+                7,
+            ),
+            # either timestamp null → record dropped entirely (D9)
+            ("r", turn(idx=1, ts=None), turn(idx=1, ts=t1), SRC, 8),
+            ("r", turn(idx=2, ts=T0), turn(idx=2, ts=None), SRC, 9),
+            # tool hist row: the D2 tool_result pair does NOT fire on the
+            # historical branch (the reference's my_collect handler never
+            # multi-emits beyond its own pair)
+            (
+                "r",
+                turn(idx=3, role="tool", text="a", tool="t", ts=T0),
+                turn(idx=3, role="tool", text="b", tool="t", ts=t1),
+                SRC,
+                10,
+            ),
+        ],
+    )
+    out = cdc.derive_turn_events(df)
+    assert kinds(out) == [(0, 1), (0, 6), (3, 3), (3, 6)]
+    by = {(r.turn_idx, r.event_kind): r for r in out.collect()}
+    assert by[(0, 1)].ts == T0 and by[(0, 1)].metric == 4  # len("orig")
+    assert by[(0, 6)].ts == t1 and by[(0, 6)].metric == 13
+    assert by[(0, 6)].event_name == "turn_edited"
+    assert by[(0, 1)].seq == by[(0, 6)].seq == 7  # one envelope, one seq
+
+
 def test_pandas_path_equivalence(spark):
+    t1 = T0 + dt.timedelta(minutes=1)
     rows = [
         ("c", None, turn(idx=0, role="tool", text="x", tool="t"), SRC, 1),
         ("u", turn(idx=1, text="a"), turn(idx=1, text="b"), SRC, 2),
         ("d", turn(idx=2), None, SRC, 3),
         ("c", None, turn(idx=3, ts=None), SRC, 4),
         ("r", None, turn(idx=4, role="assistant"), SRC, 5),
+        # historical pair + its null-ts drop arms
+        ("r", turn(idx=5, text="o"), turn(idx=5, text="e", ts=t1), SRC, 6),
+        ("r", turn(idx=6, ts=None), turn(idx=6, ts=t1), SRC, 7),
+        ("r", turn(idx=7, ts=T0), turn(idx=7, ts=None), SRC, 8),
     ]
     df = env_df(spark, rows)
     a = sorted(map(tuple, cdc.derive_turn_events(df).collect()))
