@@ -119,22 +119,24 @@ def cosine_topk_rank_sql(
     """
 
 
-def lsh_bucket(col) -> "F.Column":
-    """Sign-bit LSH bucket id (int, 0..2^LSH_BITS-1) of an embedding."""
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(LSH_BITS - 1)),
+def lsh_bucket(col, offset: int = 0, bits: int = LSH_BITS) -> "F.Column":
+    """Sign-bit LSH bucket id (int, 0..2^bits-1) of an embedding, read
+    from dimensions [offset, offset+bits) — offset>0 selects a disjoint
+    hyperplane table for multi-table (OR) constructions."""
+    bit_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.when(
-            F.element_at(col, j + 1) >= 0.0,
+            F.element_at(col, j + offset + 1) >= 0.0,
             F.pow(F.lit(2.0), j).cast("int"),
         ).otherwise(F.lit(0)),
     )
-    return F.aggregate(bits, F.lit(0), lambda a, b: a + b)
+    return F.aggregate(bit_arr, F.lit(0), lambda a, b: a + b)
 
 
-def lsh_bucket_sql(col: str) -> str:
+def lsh_bucket_sql(col: str, offset: int = 0, bits: int = LSH_BITS) -> str:
     terms = " + ".join(
-        f"CASE WHEN {col}[{j + 1}] >= 0.0 THEN {1 << j} ELSE 0 END"
-        for j in range(LSH_BITS)
+        f"CASE WHEN {col}[{j + offset + 1}] >= 0.0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
     )
     return f"({terms})"
 

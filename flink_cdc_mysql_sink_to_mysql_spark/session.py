@@ -46,7 +46,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batches of 64Ki rows: the engine's pandas-UDF schemas are
+        # narrow (≤ a dozen scalar cols), so larger batches amortize the
+        # JVM↔Python round-trip — measured 2.88s vs 3.57s on the
+        # turn_events_pandas derivation at sf0.1 vs the 10k default.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")

@@ -50,6 +50,14 @@ def main() -> None:
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--chunks", type=int, default=4)
     ap.add_argument(
+        "--n-buckets",
+        type=int,
+        default=32,
+        help="sink hash buckets; size ≈ table_bytes / 128-256MB on a "
+        "cluster (streaming/sink.py sizing note) — 32 suits the "
+        "sf-scale tables this sandbox replays",
+    )
+    ap.add_argument(
         "--with-mongo",
         action="store_true",
         help="also stream the Mongo-dialect feed and union (U1)",
@@ -62,7 +70,9 @@ def main() -> None:
 
     spool = os.path.join(args.workdir, "spool")
     ckpt = os.path.join(args.workdir, "checkpoint")
-    sink = MergeParquetSink(root=os.path.join(args.workdir, "sink"))
+    sink = MergeParquetSink(
+        root=os.path.join(args.workdir, "sink"), n_buckets=args.n_buckets
+    )
 
     # spool the bounded changelog once (idempotent: skip if present)
     if not os.path.isdir(spool) or not os.listdir(spool):

@@ -132,7 +132,7 @@ def test_union_stream_matches_batch_apply(spark, tmp_path):
         n_chunks=2,
         order_by="fullDocument.create_time.date",
     )
-    sink = MergeParquetSink(root=str(tmp_path / "sink"))
+    sink = MergeParquetSink(root=str(tmp_path / "sink"), n_buckets=8)
     pl.materialize_stream(
         spark,
         my_spool,

@@ -82,6 +82,23 @@ def test_embedding_near_dup_symmetric_threshold(spark):
     assert bad == 0
 
 
+def test_embedding_lsh_pairs_subset_with_recall(spark):
+    """Multi-table LSH near-dup: every emitted pair is verified-exact
+    (⊆ brute force at the same threshold) and the OR-construction has
+    non-trivial recall even on these hard (cos≈0.45–0.55) targets —
+    a single 8-bit table caught 0 of them."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dup(_emb(spark)).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in dedup.embedding_near_dup_lsh(_emb(spark)).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) >= len(exact) * 0.5  # measured 8/14 at sf0.01
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
