@@ -24,7 +24,9 @@ from .functions import text as textfn
 from .operators import (
     cdc,
     cohort,
+    components,
     dedup,
+    examples,
     joins,
     multimodal,
     similarity,
@@ -530,6 +532,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
 
 
+# pairs → transitive dup CLUSTERS (large-star/small-star CC) → canonical
+# keep/drop verdict; oracle = recursive-CTE closure over the same brute
+# pair relation the LSH plan is row-identical to.
+@register(
+    "dedup_clusters",
+    oracle=components.dup_clusters_sql(
+        "SELECT doc_id FROM documents",
+        dedup.minhash_lsh_pairs_sql("documents"),
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return components.dup_clusters(docs, dedup.minhash_lsh_pairs(docs))
+
+
 @register("dedup_simhash", oracle=dedup.simhash_sql("documents"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
@@ -637,6 +654,31 @@ def q_ann_cosine_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(_emb(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# 10b. training-example assembly (SFT extraction, packing, sampling)
+# ---------------------------------------------------------------------------
+
+_TRANSCRIPT_REL = f"SELECT conv_id, turn_idx, role, text FROM ({TRANSCRIPTS_SQL})"
+_DOCS_REL = "SELECT doc_id, lang, text FROM documents"
+
+
+@register("sft_examples", oracle=examples.sft_examples_sql(_TRANSCRIPT_REL))
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.sft_examples(_turns(spark, sf_dir))
+
+
+@register("pack_sequences", oracle=examples.pack_sequences_sql(_DOCS_REL))
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.pack_sequences(_docs(spark, sf_dir))
+
+
+@register(
+    "sample_stratified", oracle=examples.stratified_sample_sql(_DOCS_REL)
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.stratified_sample(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -55,6 +55,18 @@ def envelope_stream(
     return reader.parquet(spool_dir)
 
 
+def console_sink(stream_df: DataFrame, num_rows: int = 20, truncate: bool = True):
+    """K4 debug print sink (the reference's commented-out `.print()`,
+    UserGroupClickHouseJob.java:60): start a console-format streaming
+    write. Returns the StreamingQuery (caller stops/awaits it)."""
+    return (
+        stream_df.writeStream.format("console")
+        .option("numRows", str(num_rows))
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
 MONGO_DDL = (
     "operationType string,"
     " fullDocument struct<_id:struct<oid:string>,conv_id:string,"

@@ -1,0 +1,94 @@
+"""Training-example assembly semantics (operators/examples.py) on
+hand-built frames — cross-engine parity is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import examples
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def turns_df(spark, rows):
+    """rows: (conv_id, turn_idx, role, text)."""
+    return spark.createDataFrame(
+        [(c, i, r, t, None, T0 + dt.timedelta(minutes=i)) for c, i, r, t in rows],
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+
+
+def test_sft_context_is_preceding_window_in_order(spark):
+    df = turns_df(
+        spark,
+        [
+            ("c1", 0, "user", "q1"),
+            ("c1", 1, "assistant", "a1"),
+            ("c1", 2, "user", "q2"),
+            ("c1", 3, "tool", "t1"),
+            ("c1", 4, "assistant", "a2"),
+            # assistant turn with NO prior turns → no example
+            ("c2", 0, "assistant", "cold"),
+        ],
+    )
+    out = {r.turn_idx: r for r in examples.sft_examples(df, ctx_turns=3).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].context == "user: q1"
+    assert out[1].response == "a1" and out[1].n_context_turns == 1
+    # ctx_turns=3 window: turns 1..3, in turn order
+    assert out[4].context == "assistant: a1\nuser: q2\ntool: t1"
+    assert out[4].n_context_turns == 3
+
+
+def docs_df(spark, rows):
+    """rows: (doc_id, lang, text)."""
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_pack_sequences_block_arithmetic(spark):
+    df = docs_df(
+        spark, [(i, "en", " ".join(["w"] * (10 * (i % 3 + 1)))) for i in range(60)]
+    )
+    out = (
+        examples.pack_sequences(df, budget=64, shards=4)
+        .orderBy("lang", "shard", "doc_id")
+        .collect()
+    )
+    # per-(lang, shard) stream: pack_id*budget + pack_offset must equal
+    # the running token count before the doc — the concat-then-chunk law
+    cum: dict = {}
+    for r in out:
+        key = (r.lang, r.shard)
+        before = cum.get(key, 0)
+        assert r.pack_id * 64 + r.pack_offset == before, r
+        assert 0 <= r.pack_offset < 64
+        cum[key] = before + r.n_tokens
+    # docs spread over multiple independent packing streams
+    assert len(cum) > 1
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    df = docs_df(
+        spark,
+        [(i, "en" if i % 2 == 0 else "fr", f"doc {i}") for i in range(2000)],
+    )
+    a = examples.stratified_sample(df, rates={"en": 500}, default_permille=100)
+    b = examples.stratified_sample(df, rates={"en": 500}, default_permille=100)
+    ra = {r.doc_id for r in a.collect()}
+    assert ra == {r.doc_id for r in b.collect()}  # replay-identical
+    by_lang = {
+        r.lang: r.n
+        for r in a.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs per stratum: expect ~500 en, ~100 fr (hash noise ≤ ±40%)
+    assert 300 <= by_lang["en"] <= 700
+    assert 40 <= by_lang.get("fr", 0) <= 180
+    # every kept row satisfies its stratum's bucket bound
+    bad = a.where(
+        ((F.col("lang") == "en") & (F.col("sample_bucket") >= 500))
+        | ((F.col("lang") == "fr") & (F.col("sample_bucket") >= 100))
+    ).count()
+    assert bad == 0

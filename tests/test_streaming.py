@@ -129,3 +129,20 @@ def test_windowed_stream_with_late_drop(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert res[("2024-01-01T00:00:00", "cw")] == 10  # late row NOT counted
+
+
+def test_console_sink_starts_and_drains(spark, tmp_path):
+    """K4 debug print sink (reference's commented-out .print()): the
+    console-format streaming write starts, processes the spooled batch,
+    and stops cleanly."""
+    env = mysql_changelog(spark, SF)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env.limit(50), spool, n_chunks=1)
+    stream = pl.envelope_stream(spark, spool)
+    q = pl.console_sink(stream, num_rows=5)
+    try:
+        q.processAllAvailable()
+        assert q.lastProgress is not None
+        assert q.lastProgress["numInputRows"] > 0
+    finally:
+        q.stop()
