@@ -397,6 +397,13 @@ def q_join_first_response(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.first_response(_turns(spark, sf_dir))
 
 
+# backward as-of join (operator Spark lacks; union→window composition
+# vs DuckDB's native ASOF LEFT JOIN)
+@register("join_asof_prev_user", oracle=joins.asof_prev_user_sql(TRANSCRIPTS_SQL))
+def q_join_asof_prev_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return joins.asof_prev_user(_turns(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # 7. cohorts (reference job 3: R1-R6 rule compiler)
 # ---------------------------------------------------------------------------

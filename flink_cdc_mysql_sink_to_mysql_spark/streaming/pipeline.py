@@ -67,6 +67,33 @@ def console_sink(stream_df: DataFrame, num_rows: int = 20, truncate: bool = True
     )
 
 
+def dedup_envelopes(env: DataFrame, watermark_delay: str = "1 hour") -> DataFrame:
+    """Drop redelivered changelog envelopes (at-least-once upstream →
+    effectively-once downstream) with `dropDuplicatesWithinWatermark`.
+
+    Identity of an envelope = (op, seq, conv_id, turn_idx) — ``seq`` is
+    epoch-millis change order, unique only per key. The MERGE sink is
+    already idempotent under redelivery (ord-guarded LWW), so this stage
+    exists for the AGGREGATING consumers (windowed counts, cohort
+    stats), where a duplicate envelope double-counts.
+
+    Scale: state is one small key per envelope, evicted once the event
+    time passes the watermark — bounded by (watermark window × ingest
+    rate), not by stream history; keys hash-partition across executors.
+    """
+    keyed = env.select(
+        "*",
+        F.coalesce(F.col("after.ts"), F.col("before.ts")).alias("__event_ts"),
+        F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias("__conv"),
+        F.coalesce(F.col("after.turn_idx"), F.col("before.turn_idx")).alias("__idx"),
+    )
+    return (
+        keyed.withWatermark("__event_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["op", "seq", "__conv", "__idx"])
+        .drop("__event_ts", "__conv", "__idx")
+    )
+
+
 MONGO_DDL = (
     "operationType string,"
     " fullDocument struct<_id:struct<oid:string>,conv_id:string,"

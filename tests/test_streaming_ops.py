@@ -4,6 +4,8 @@ batch twin on an ordered replay (SURVEY.md §5.2 item 2 pattern)."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -331,3 +333,42 @@ def test_incremental_cohort_resumes_from_checkpoint(spark, tmp_path, spool):
         for r in cohort_stream.cohort_members(spark, delta, rule).collect()
     }
     assert len(members_before) > 0
+
+
+def test_dedup_envelopes_drops_cross_batch_redelivery(spark, tmp_path):
+    """At-least-once upstream: the same envelopes redelivered in a LATER
+    microbatch (within the watermark) must be dropped by
+    dedup_envelopes; without it they double-count."""
+    env = mysql_changelog(spark, SF).limit(40).cache()
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    pl.spool_dataframe(env, spool, "a.parquet")
+    pl.spool_dataframe(env.limit(15), spool, "b.parquet")  # redelivery
+
+    def run(dedupe, tag):
+        stream = pl.envelope_stream(spark, spool, max_files_per_trigger=1)
+        if dedupe:
+            stream = pl.dedup_envelopes(stream)
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    assert run(dedupe=False, tag="raw").count() == 55
+    deduped = run(dedupe=True, tag="dd")
+    assert deduped.count() == 40
+    # and the distinct identity space is intact (no over-dropping)
+    assert (
+        deduped.select(
+            "op", "seq",
+            F.coalesce("after.conv_id", "before.conv_id"),
+            F.coalesce("after.turn_idx", "before.turn_idx"),
+        ).distinct().count()
+        == 40
+    )
