@@ -688,6 +688,21 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return examples.stratified_sample(_docs(spark, sf_dir))
 
 
+# fixed-size complement: exactly-k eval docs per lang, WindowGroupLimit plan
+@register("sample_topk", oracle=examples.stratified_topk_sql(_DOCS_REL))
+def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.stratified_topk(_docs(spark, sf_dir))
+
+
+# per-lang token distribution (exact percentiles — bit-identical
+# interpolation in Spark `percentile` vs DuckDB `quantile_cont`);
+# the high-cardinality scale path is token_stats_approx (t-digest),
+# pinned against this exact form in tests.
+@register("token_stats", oracle=textfn.token_stats_sql(_DOCS_REL))
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.token_stats(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # 11. multimodal plumbing (binary media columns + mapInPandas stages)
 # ---------------------------------------------------------------------------

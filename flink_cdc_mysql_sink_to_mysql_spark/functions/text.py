@@ -261,3 +261,65 @@ def fingerprints_sql(rel: str) -> str:
            END AS min_shingle_fp
     FROM {rel}
     """
+
+
+# ---------------------------------------------------------------------------
+# per-language token distribution stats (corpus reporting)
+# ---------------------------------------------------------------------------
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-language token-count distribution: doc count, total/avg and
+    exact p50/p90/p99 token percentiles (linear interpolation — Spark
+    `percentile` and DuckDB `quantile_cont` implement the identical
+    definition; verified bit-exact incl. the interpolated doubles).
+
+    Scale note: EXACT percentiles buffer each group's values on one
+    reducer — fine for a bounded-cardinality reporting dimension like
+    lang (≤ a few hundred groups, values are ints), wrong for
+    high-cardinality keys. The mergeable scale path for those is
+    :func:`token_stats_approx` (t-digest partial aggregation, no
+    per-group buffering), tested against this exact form."""
+    n = F.size(words(F.col("text")))
+    base = docs.select("lang", n.alias("n"))
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.avg("n").alias("avg_tokens"),
+        F.percentile("n", F.lit(0.5)).alias("p50_tokens"),
+        F.percentile("n", F.lit(0.9)).alias("p90_tokens"),
+        F.percentile("n", F.lit(0.99)).alias("p99_tokens"),
+        F.max("n").cast("int").alias("max_tokens"),
+    )
+
+
+def token_stats_sql(rel: str) -> str:
+    return f"""
+    SELECT lang, CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           AVG(n) AS avg_tokens,
+           quantile_cont(n, 0.5) AS p50_tokens,
+           quantile_cont(n, 0.9) AS p90_tokens,
+           quantile_cont(n, 0.99) AS p99_tokens,
+           CAST(MAX(n) AS INTEGER) AS max_tokens
+    FROM (SELECT lang, CAST(len({_sql_words()}) AS INTEGER) AS n FROM ({rel}))
+    GROUP BY lang
+    """
+
+
+def token_stats_approx(docs: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """The 100 TB percentile path: `approx_percentile` aggregates a
+    mergeable sketch map-side (no per-group value buffering), so it
+    scales to arbitrary group cardinality and size. No cross-engine
+    oracle (sketch internals are engine-specific); pinned against the
+    exact form in tests instead."""
+    n = F.size(words(F.col("text")))
+    base = docs.select("lang", n.alias("n"))
+    pct = F.approx_percentile(
+        "n", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)), F.lit(accuracy)
+    )
+    return base.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("int").alias("n_docs"),
+        pct[0].cast("double").alias("p50_tokens"),
+        pct[1].cast("double").alias("p90_tokens"),
+        pct[2].cast("double").alias("p99_tokens"),
+    )

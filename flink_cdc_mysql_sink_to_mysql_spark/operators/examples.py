@@ -209,3 +209,39 @@ def stratified_sample_sql(
     WHERE {_id_hash_sql('doc_id')} % 1000
           < (CASE {arms} ELSE {default_permille} END)
     """
+
+
+# -- 4. per-stratum fixed-size deterministic sample ------------------------
+
+TOPK_PER_STRATUM = 50
+
+
+def stratified_topk(docs: DataFrame, k: int = TOPK_PER_STRATUM) -> DataFrame:
+    """Exactly-k docs per stratum (lang), chosen by portable-hash order
+    (deterministic across engines/runs; tie-broken by doc_id). The
+    fixed-size complement to :func:`stratified_sample`'s rate form —
+    'give me 10k eval docs per language', replay-identical.
+
+    Scale: the rn<=k filter plans as WindowGroupLimit — each map task
+    keeps only its local top-k BEFORE the shuffle, so the exchange
+    carries O(k × partitions), not the stratum; asserted in
+    tests/test_plans.py."""
+    h = _id_hash(F.col("doc_id"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def stratified_topk_sql(rel: str, k: int = TOPK_PER_STRATUM) -> str:
+    return f"""
+    SELECT doc_id, lang, CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_id_hash_sql('doc_id')} ASC,
+                                         doc_id ASC) AS rank
+      FROM ({rel})
+    ) WHERE rank <= {k}
+    """

@@ -92,3 +92,36 @@ def test_stratified_sample_deterministic_and_rated(spark):
         | ((F.col("lang") == "fr") & (F.col("sample_bucket") >= 100))
     ).count()
     assert bad == 0
+
+
+def test_stratified_topk_exact_k_and_deterministic(spark):
+    df = docs_df(
+        spark,
+        [(i, "en" if i % 2 == 0 else "fr", f"doc {i}") for i in range(400)],
+    )
+    a = examples.stratified_topk(df, k=25)
+    rows = a.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append((r.rank, r.doc_id))
+    assert set(by_lang) == {"en", "fr"}
+    for lang, pairs in by_lang.items():
+        assert sorted(r for r, _ in pairs) == list(range(1, 26))
+    # replay-identical selection
+    b = {(r.lang, r.rank): r.doc_id for r in examples.stratified_topk(df, k=25).collect()}
+    assert b == {(r.lang, r.rank): r.doc_id for r in rows}
+
+
+def test_token_stats_approx_tracks_exact(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = {r.lang: r for r in textfn.token_stats(docs).collect()}
+    approx = {r.lang: r for r in textfn.token_stats_approx(docs).collect()}
+    assert set(exact) == set(approx)
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a.n_docs == e.n_docs
+        # t-digest at accuracy=10k on ≤1k values: within one token
+        for col in ("p50_tokens", "p90_tokens", "p99_tokens"):
+            assert abs(getattr(a, col) - getattr(e, col)) <= 1.0, (lang, col)

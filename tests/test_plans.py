@@ -58,3 +58,40 @@ def test_events_scan_prunes_for_window_query(spark):
     plan = _plan(spark, "window_tumbling")
     read = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read and all("value" not in l for l in read)
+
+
+def test_pack_sequences_scan_prunes_and_single_shuffle(spark):
+    """Packing reads 3 of 5 document columns and shuffles ONCE (the
+    (lang, shard) window partition) — a second exchange would mean the
+    cumsum is re-partitioned wastefully."""
+    plan = _plan(spark, "pack_sequences")
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+    import re
+
+    # one node header "(N) Exchange" in the formatted detail section
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+
+
+def test_sample_stratified_is_narrow(spark):
+    """Deterministic hash sampling must be a pure scan→project→filter:
+    zero exchanges, zero aggregates."""
+    plan = _plan(spark, "sample_stratified")
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_asof_join_is_one_window_pass_not_range_join(spark):
+    """The as-of composition must plan as union → window (one sort per
+    key partition), NOT a join — a range/theta join here explodes to
+    O(|a|·|u|) pairs per conversation."""
+    plan = _plan(spark, "join_asof_prev_user")
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_sample_topk_plans_window_group_limit(spark):
+    """rn<=k must push a per-partition top-k (WindowGroupLimit) below
+    the exchange — otherwise every stratum ships in full to one task."""
+    plan = _plan(spark, "sample_topk")
+    assert "WindowGroupLimit" in plan
