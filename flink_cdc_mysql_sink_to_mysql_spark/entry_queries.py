@@ -663,6 +663,33 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(_emb(spark, sf_dir))
 
 
+# int8 symmetric quantization — numpy kernel with explicit
+# half-away-from-zero rounding so the ints match DuckDB's round()
+# exactly. The registered projection serializes q to a comma-joined
+# string (the driver's value-hash has no proven array-column contract);
+# the array<int> form is the library op.
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    SELECT vec_id, scale,
+           array_to_string(list_transform(q, v -> CAST(v AS VARCHAR)), ',')
+             AS q_csv,
+           max_abs_err
+    FROM ({similarity.quantize_int8_sql('embeddings')})
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = similarity.quantize_int8(_emb(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias(
+            "q_csv"
+        ),
+        "max_abs_err",
+    )
+
+
 # ---------------------------------------------------------------------------
 # 10b. training-example assembly (SFT extraction, packing, sampling)
 # ---------------------------------------------------------------------------

@@ -364,3 +364,80 @@ def ivf_topk_sql(
     SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization (storage-scale path for embedding tables)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = round(x_i / scale) — 4×/8× smaller embedding tables, the
+    standard storage trade for 100 TB vector corpora.
+
+    Arrow-batched numpy kernel (mapInPandas): one vectorized pass per
+    batch, no per-element Column lambdas (a transform() lambda
+    referencing the per-row scale would re-evaluate the array_max per
+    ELEMENT — Spark does no CSE inside higher-order-function scopes, an
+    O(d²)/row trap measured in round 1 on the shingle path).
+
+    Oracle-exact: rounding is explicit half-AWAY-FROM-ZERO
+    (copysign(floor(|r|+0.5))) matching DuckDB's round(); everything
+    before it is IEEE double arithmetic identical in both engines.
+    numpy's bankers' np.round is deliberately NOT used. Zero vectors
+    quantize to all-zero with scale 0. Reconstruction error is reported
+    per vector (order-independent max — safe to compare as doubles).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _quant(batches):
+        for pdf in batches:
+            out_scale, out_q, out_err = [], [], []
+            for v in pdf["embedding"]:
+                x = np.asarray(v, dtype=np.float64)
+                m = float(np.max(np.abs(x))) if len(x) else 0.0
+                scale = m / 127.0
+                if scale > 0.0:
+                    r = x / scale
+                    q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+                else:
+                    q = np.zeros_like(x)
+                err = float(np.max(np.abs(q * scale - x))) if len(x) else 0.0
+                out_scale.append(scale)
+                out_q.append(q.astype(np.int32))
+                out_err.append(err)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "scale": out_scale,
+                    "q": out_q,
+                    "max_abs_err": out_err,
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _quant, schema="vec_id long, scale double, q array<int>, max_abs_err double"
+    )
+
+
+def quantize_int8_sql(rel: str) -> str:
+    """DuckDB oracle: same arithmetic in list lambdas (list_zip struct
+    fields need numeric indexing in this DuckDB build)."""
+    xd = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    return f"""
+    WITH b AS (
+      SELECT vec_id, {xd} AS x,
+             list_max(list_transform({xd}, x -> abs(x))) / 127.0 AS scale
+      FROM {rel}
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN list_transform(x, v -> CAST(round(v / scale) AS INTEGER))
+                ELSE list_transform(x, v -> 0) END AS q,
+           CASE WHEN scale > 0
+                THEN list_max(list_transform(x,
+                       v -> abs(CAST(round(v / scale) AS DOUBLE) * scale - v)))
+                ELSE 0.0 END AS max_abs_err
+    FROM b
+    """

@@ -209,3 +209,24 @@ def test_rolling_fingerprint_detects_any_edit(spark):
     )
     fps = {r.doc_id: r.rolling_fp for r in textfn.fingerprints(df).collect()}
     assert fps[1] == fps[3] and fps[1] != fps[2]
+
+
+def test_quantize_int8_semantics(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 4.0]),       # max|x|=4 → scale=4/127
+            (2, [0.0, 0.0]),             # zero vector
+            (3, [-5.0]),                 # single negative → -127
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(emb).collect()}
+    assert list(rows[1].q) == [32, -64, 127]  # round(1/ (4/127)) = 31.75 → 32
+    assert rows[1].scale == 4.0 / 127.0
+    # reconstruction error bounded by scale/2
+    assert rows[1].max_abs_err <= rows[1].scale / 2 + 1e-12
+    assert list(rows[2].q) == [0, 0] and rows[2].scale == 0.0
+    assert rows[2].max_abs_err == 0.0
+    assert list(rows[3].q) == [-127]

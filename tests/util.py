@@ -12,6 +12,8 @@ import pandas as pd
 def _canon_cell(v):
     if v is None:
         return None
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon_cell(x) for x in v)
     if isinstance(v, float):
         if math.isnan(v):
             return None
