@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for the training-data curation pipeline —
+the end-to-end composition of the engine's LLM-pipeline operators:
+
+    documents ─ quality filter (text_profile)
+              ─ near-dup clustering (MinHash-LSH pairs → large-star/
+                small-star connected components) → keep canonicals
+              ─ deterministic stratified sampling (per-lang permille)
+              ─ sequence packing (sharded concat-then-chunk)
+    transcripts (CDC-materialized changelog) ─ SFT (context, response)
+              extraction
+
+    python -m zipfile -c /tmp/engine.zip flink_cdc_mysql_sink_to_mysql_spark
+    spark-submit --master local[8] --py-files /tmp/engine.zip \
+        jobs/curation_job.py --sf-dir /root/testdata/sf0.001 \
+        --workdir /tmp/curation-run
+
+Writes each stage as parquet under --workdir and prints ONE JSON
+summary line (stage row counts + packed-token totals). Every stage is
+the scale-path form (LSH not O(n²), CC not label-prop, hash sampling
+not random(), WindowGroupLimit-able packing shards); the per-stage
+oracles live in entry_queries (dedup_clusters, sample_stratified,
+pack_sequences, sft_examples).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn  # noqa: E402
+from flink_cdc_mysql_sink_to_mysql_spark.operators import (  # noqa: E402
+    cdc,
+    components,
+    dedup,
+    examples,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
+    mysql_changelog,
+)
+
+
+def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats: dict = {"n_docs": docs.count()}
+
+    # 1. quality gate (pure-Column profile; integer scores)
+    prof = textfn.text_profile(docs)
+    quality = (
+        docs.join(
+            prof.where(
+                (F.col("quality_score") >= 60) & (F.col("n_words") >= 20)
+            ).select("doc_id"),
+            "doc_id",
+        )
+    )
+    stats["n_quality"] = quality.count()
+
+    # 2. near-dup clusters → canonicals only
+    clusters = components.dup_clusters(
+        quality, dedup.minhash_lsh_pairs(quality)
+    )
+    clusters.write.mode("overwrite").parquet(
+        os.path.join(workdir, "dup_clusters")
+    )
+    canon = quality.join(
+        clusters.where("is_canonical").select("doc_id"), "doc_id"
+    )
+    stats["n_canonical"] = canon.count()
+
+    # 3. deterministic per-lang rate sampling
+    sampled_ids = examples.stratified_sample(canon).select("doc_id")
+    sampled = canon.join(sampled_ids, "doc_id")
+    stats["n_sampled"] = sampled.count()
+
+    # 4. sequence packing
+    packed = examples.pack_sequences(sampled)
+    packed.write.mode("overwrite").parquet(os.path.join(workdir, "packed"))
+    agg = packed.agg(
+        F.sum("n_tokens").alias("tokens"),
+        F.count_distinct("lang", "shard", "pack_id").alias("packs"),
+    ).collect()[0]
+    stats["total_tokens"] = int(agg["tokens"] or 0)
+    stats["n_packs"] = int(agg["packs"])
+
+    # 5. SFT examples from the CDC-materialized transcript state — the
+    # changelog engine feeding the training pipeline end-to-end
+    turns = cdc.apply_changelog(mysql_changelog(spark, sf_dir))
+    sft = examples.sft_examples(turns)
+    sft.write.mode("overwrite").parquet(os.path.join(workdir, "sft"))
+    stats["n_sft_examples"] = spark.read.parquet(
+        os.path.join(workdir, "sft")
+    ).count()
+    return stats
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--workdir", required=True)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("curation").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.sparkContext.setLogLevel("ERROR")
+    stats = run(spark, args.sf_dir, args.workdir)
+    print(json.dumps({**stats, "workdir": args.workdir}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""End-to-end curation pipeline job (jobs/curation_job.py): quality →
+dedup-clusters → sample → pack (+ SFT from the CDC-materialized state)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+from curation_job import run  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curation_job_stage_counts_monotone(spark, tmp_path):
+    stats = run(spark, SF, str(tmp_path))
+    assert (
+        stats["n_docs"]
+        >= stats["n_quality"]
+        >= stats["n_canonical"]
+        >= stats["n_sampled"]
+        > 0
+    )
+    assert stats["total_tokens"] > 0 and stats["n_packs"] > 0
+    assert stats["n_sft_examples"] > 0
+    # artifacts written
+    for sub in ("dup_clusters", "packed", "sft"):
+        out = spark.read.parquet(str(tmp_path / sub))
+        assert out.count() > 0
+    # exactly one canonical per cluster in the persisted artifact
+    cl = spark.read.parquet(str(tmp_path / "dup_clusters"))
+    from pyspark.sql import functions as F
+
+    per = cl.groupBy("cluster_id").agg(
+        F.sum(F.col("is_canonical").cast("int")).alias("n")
+    )
+    assert per.where("n != 1").count() == 0
