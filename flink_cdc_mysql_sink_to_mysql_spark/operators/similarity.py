@@ -263,10 +263,54 @@ def ivf_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+def ivf_centroids_kmeans(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Real k-means codebook (the production replacement for the
+    deterministic-sample :func:`ivf_centroids`): Spark ML KMeans with
+    the cosine distance measure — k-means|| init, mergeable partial
+    aggregation per iteration, O(iter · n · k) total, nothing
+    corpus-proportional on the driver except the k centers themselves.
+    Seeded → run-to-run deterministic on the same input/partitioning.
+    No cross-engine oracle (iterative); contract-tested instead: same
+    schema as ivf_centroids, fixed k, and recall measured vs brute
+    force in tests. Drop-in: pass the result as ``centroids=`` to
+    ivf_assign / ivf_topk."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        distanceMeasure="cosine",
+    ).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return emb.sparkSession.createDataFrame(
+        centers, "cid long, cemb array<double>"
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    n_centroids: int = N_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
     """IVF cell assignment: broadcast the tiny codebook, score corpus ×
     centroids, keep the argmax-cosine cell (ties → smallest cid)."""
-    cents = F.broadcast(ivf_centroids(emb, n_centroids))
+    cents = F.broadcast(
+        ivf_centroids(emb, n_centroids) if centroids is None else centroids
+    )
     scored = emb.join(cents).select(
         "vec_id",
         "embedding",
@@ -290,16 +334,20 @@ def ivf_topk(
     q_cap: int = Q_CAP,
     n_centroids: int = N_CENTROIDS,
     nprobe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the query's top-``nprobe`` IVF cells.
 
     Scale path: the corpus is bucket-partitioned by cell, so a query
     touches nprobe cells' partitions instead of the whole corpus;
     raising nprobe trades cost for recall. Approximate by definition —
-    the oracle runs the identical cell-restricted semantics.
-    """
-    assigned = ivf_assign(emb, n_centroids)
-    cents = F.broadcast(ivf_centroids(emb, n_centroids))
+    the oracle runs the identical cell-restricted semantics. Pass
+    ``centroids=`` (e.g. :func:`ivf_centroids_kmeans` output) to use a
+    trained codebook instead of the deterministic sample."""
+    cents = F.broadcast(
+        ivf_centroids(emb, n_centroids) if centroids is None else centroids
+    )
+    assigned = ivf_assign(emb, n_centroids, centroids=centroids)
     q_scored = (
         emb.where(_query_pred(every, q_cap))
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
