@@ -517,6 +517,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _redact_oracle() -> str:
+    clean, counts = textfn.redact_pii_sql_exprs("text")
+    return f"""
+    SELECT conv_id, turn_idx, {clean} AS clean_text, {", ".join(counts)}
+    FROM ({TRANSCRIPTS_SQL})
+    """
+
+
+# PII scrub stage (email/IP/digit-run redaction + per-pattern counts);
+# patterns restricted to the Java-regex ∩ RE2 subset for exact parity
+@register("text_redact_pii", oracle=_redact_oracle())
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.redact_pii(_turns(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "clean_text", "n_email", "n_ip", "n_num"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 9. deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding)
 # ---------------------------------------------------------------------------

@@ -323,3 +323,47 @@ def token_stats_approx(docs: DataFrame, accuracy: int = 10000) -> DataFrame:
         pct[1].cast("double").alias("p90_tokens"),
         pct[2].cast("double").alias("p99_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern redaction (curation scrub stage)
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (char classes,
+# bounded repeats, non-capturing groups — no lookaround, no \b) so Spark
+# and DuckDB match byte-identically.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("num", r"[0-9]+", "<NUM>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub PII-ish patterns (emails, IPv4s, digit runs) from a text
+    column, emitting the cleaned text plus a per-pattern hit count —
+    the standard pre-training scrub stage.
+
+    Applied in a fixed order (email → ip → num); each stage counts on
+    its own input, and replacement tokens contain no digits, so stages
+    cannot re-trigger each other. Pure Column regex ops: narrow map,
+    whole-stage codegen, scan-pruned — zero shuffle at any scale."""
+    cur = F.col(text_col)
+    out = df
+    for name, pat, tok in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, tok)
+    return out.withColumn("clean_text", cur)
+
+
+def redact_pii_sql_exprs(text_col: str = "text") -> tuple[str, list[str]]:
+    """(clean_text_expr, [count_exprs]) mirroring redact_pii in DuckDB."""
+    cur = text_col
+    counts = []
+    for name, pat, tok in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS INTEGER)"
+            f" AS n_{name}"
+        )
+        cur = f"regexp_replace({cur}, '{pat}', '{tok}', 'g')"
+    return cur, counts

@@ -261,3 +261,24 @@ def test_ivf_kmeans_codebook_and_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= r1  # probing more cells never loses neighbors
     assert r4 >= 0.5, (r1, r4)
+
+
+def test_redact_pii_semantics(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@example.org or 10.0.0.1 room 42"),
+            (2, "no pii here"),
+            (3, "v4 192.168.001.255 then 7 and 2024"),
+        ],
+        "id int, text string",
+    )
+    rows = {r.id: r for r in textfn.redact_pii(df).collect()}
+    assert rows[1].clean_text == "mail me at <EMAIL> or <IP> room <NUM>"
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_num) == (1, 1, 1)
+    assert rows[2].clean_text == "no pii here"
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_num) == (0, 0, 0)
+    # IP swallowed before digit pass; remaining digit runs counted after
+    assert rows[3].clean_text == "v<NUM> <IP> then <NUM> and <NUM>"
+    assert (rows[3].n_email, rows[3].n_ip, rows[3].n_num) == (0, 1, 3)
