@@ -54,17 +54,32 @@ HEADLINE = [
 ]
 
 
+# Round-2 additions, timed separately (`--extended`) so the headline
+# total stays apples-to-apples with the round-1 driver baseline.
+EXTENDED = [
+    "dedup_clusters",
+    "join_asof_prev_user",
+    "sft_examples",
+    "pack_sequences",
+    "sample_stratified",
+    "sample_topk",
+    "token_stats",
+    "text_redact_pii",
+    "embedding_quantize_int8",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan; return row count via observed metrics-free path."""
     df.write.format("noop").mode("overwrite").save()
     return 0
 
 
-def run(sf_dir: str, cpus: int) -> dict:
+def run(sf_dir: str, cpus: int, names_list: list[str] | None = None) -> dict:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_queries.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = [n for n in (names_list or HEADLINE) if n in qs]
     # Warm-up, excluded from timings: JVM JIT + parquet footer cache
     # (first query) and the Python worker pool (one full mapInPandas
     # pass — steady-state is what a streaming job sees: workers are
@@ -152,6 +167,22 @@ def main() -> None:
 
     if "--merge-amplification" in sys.argv:
         print(json.dumps(run_merge_amplification(cpus)))
+        return
+
+    if "--extended" in sys.argv:
+        times = run(sf_dir, cpus, names_list=EXTENDED)
+        print(
+            json.dumps(
+                {
+                    "metric": "extended_query_wall_seconds",
+                    "value": round(sum(times.values()), 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": sf,
+                    "cpus": cpus,
+                }
+            )
+        )
         return
 
     times = run(sf_dir, cpus)
