@@ -25,11 +25,13 @@ from .operators import (
     cdc,
     cohort,
     components,
+    decontam,
     dedup,
     examples,
     joins,
     multimodal,
     similarity,
+    trace,
     windows,
 )
 from .sources import transcripts as _src_mod  # noqa: F401
@@ -532,6 +534,30 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.redact_pii(_turns(spark, sf_dir)).select(
         "conv_id", "turn_idx", "clean_text", "n_email", "n_ip", "n_num"
     )
+
+
+# Gopher-style repetition signals (dup-word / top-bigram / max-run) —
+# all-integer, one doc_id exchange (see functions/text.py module doc)
+@register("text_repetition", oracle=textfn.repetition_profile_sql("documents"))
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.repetition_profile(_docs(spark, sf_dir))
+
+
+# Benchmark decontamination: n-gram overlap vs a capped deterministic
+# eval set (broadcast side is O(1) by construction — operators/decontam.py)
+@register("decontam_ngram_overlap", oracle=decontam.decontaminate_sql("documents"))
+def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decontam.decontaminate(_docs(spark, sf_dir))
+
+
+# Agent tool-chain CEP metrics (gaps-and-islands) over the transcripts —
+# batch twin of the streaming progress operator (operators/trace.py)
+@register(
+    "trace_tool_chains",
+    oracle=trace.trace_metrics_sql(TRANSCRIPTS_SQL),
+)
+def q_trace_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trace.trace_metrics(transcripts(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

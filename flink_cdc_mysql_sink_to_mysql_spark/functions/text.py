@@ -367,3 +367,136 @@ def redact_pii_sql_exprs(text_col: str = "text") -> tuple[str, list[str]]:
         )
         cur = f"regexp_replace({cur}, '{pat}', '{tok}', 'g')"
     return cur, counts
+
+
+# ---------------------------------------------------------------------------
+# Repetition profile (Gopher-style repetitiousness filters)
+# ---------------------------------------------------------------------------
+
+def repetition_profile(docs: DataFrame) -> DataFrame:
+    """Per-doc repetition metrics (the Gopher/Dolma "repetitious text"
+    quality signals, word-level — the corpus is single-line):
+
+    - ``n_words`` / ``n_distinct_words`` and ``dup_word_permille`` =
+      floor(1000·(n_words−n_distinct)/n_words);
+    - ``top_bigram_n`` (occurrences of the most frequent word 2-gram)
+      and ``top_bigram_permille`` = floor(1000·top/n_bigrams);
+    - ``max_word_run`` — longest consecutive repetition of one word
+      (gaps-and-islands on word positions, same pattern as
+      operators/trace.py).
+
+    All-integer outputs (cross-engine exact). Scale shape: posexplode →
+    windows → groupBys all partition on doc_id — ONE exchange of
+    (doc_id, pos, word), everything downstream reuses it; docs with
+    <2 words get bigram metrics 0.
+    """
+    from pyspark.sql import Window
+
+    w = words(F.col("text"))
+    base = docs.select("doc_id", w.alias("w"))
+    word_stats = base.select(
+        "doc_id",
+        F.size("w").cast("int").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("int").alias("n_distinct_words"),
+    )
+
+    # Single window pass (ONE exchange on doc_id, reused by both branches
+    # below — Spark's ReuseExchange; plan pinned in test_plans.py):
+    # lead() builds bigrams, a running sum of word-change indicators
+    # assigns run ids — same trick as operators/trace.py.
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    run_frame = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    run_start = (F.col("pos") == 0) | (
+        F.col("word") != F.lag("word").over(win)
+    )
+    wp = docs.select("doc_id", F.posexplode(w).alias("pos", "word")).select(
+        "doc_id",
+        "word",
+        F.lead("word", 1).over(win).alias("nxt"),
+        F.sum(run_start.cast("int")).over(run_frame).alias("run_id"),
+    )
+
+    bigrams = (
+        wp.where(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "word", "nxt").alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").cast("int").alias("top_bigram_n"),
+            F.sum("c").cast("int").alias("n_bigrams"),
+        )
+    )
+
+    runs = (
+        wp.groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("int").alias("max_word_run"))
+    )
+
+    return (
+        word_stats.join(bigrams, "doc_id", "left")
+        .join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            _permille(
+                F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+            ).alias("dup_word_permille"),
+            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
+            F.coalesce(
+                _permille(F.col("top_bigram_n"), F.col("n_bigrams")), F.lit(0)
+            ).alias("top_bigram_permille"),
+            F.coalesce("max_word_run", F.lit(0)).alias("max_word_run"),
+        )
+    )
+
+
+def repetition_profile_sql(rel: str) -> str:
+    """DuckDB SQL computing exactly :func:`repetition_profile`."""
+    w = _sql_words()
+    return f"""
+    WITH base AS (SELECT doc_id, {w} AS w FROM {rel}),
+    word_stats AS (
+      SELECT doc_id, CAST(len(w) AS INTEGER) AS n_words,
+             CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct_words
+      FROM base
+    ),
+    wp AS (
+      SELECT doc_id, s[1] AS pos, s[2] AS word
+      FROM (SELECT doc_id, unnest(list_zip(range(1, len(w) + 1), w)) AS s
+            FROM base)
+    ),
+    bigrams AS (
+      SELECT doc_id, CAST(max(c) AS INTEGER) AS top_bigram_n,
+             CAST(sum(c) AS INTEGER) AS n_bigrams
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest({shingles_sql(2, 'w')}) AS g FROM base)
+        GROUP BY doc_id, g
+      ) GROUP BY doc_id
+    ),
+    runs AS (
+      SELECT doc_id, CAST(max(run_len) AS INTEGER) AS max_word_run
+      FROM (
+        SELECT doc_id, word, island, count(*) AS run_len
+        FROM (
+          SELECT doc_id, word,
+                 pos - row_number()
+                   OVER (PARTITION BY doc_id, word ORDER BY pos) AS island
+          FROM wp
+        ) GROUP BY doc_id, word, island
+      ) GROUP BY doc_id
+    )
+    SELECT ws.doc_id, ws.n_words, ws.n_distinct_words,
+           {_sql_permille('ws.n_words - ws.n_distinct_words', 'ws.n_words')}
+             AS dup_word_permille,
+           COALESCE(b.top_bigram_n, 0) AS top_bigram_n,
+           COALESCE({_sql_permille('b.top_bigram_n', 'b.n_bigrams')}, 0)
+             AS top_bigram_permille,
+           COALESCE(r.max_word_run, 0) AS max_word_run
+    FROM word_stats ws
+    LEFT JOIN bigrams b USING (doc_id)
+    LEFT JOIN runs r USING (doc_id)
+    """

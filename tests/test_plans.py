@@ -95,3 +95,29 @@ def test_sample_topk_plans_window_group_limit(spark):
     the exchange — otherwise every stratum ships in full to one task."""
     plan = _plan(spark, "sample_topk")
     assert "WindowGroupLimit" in plan
+
+
+def test_trace_metrics_is_single_conv_exchange(spark):
+    """The running-sum gaps-and-islands formulation must shuffle at most
+    twice (source row_number on user_id + the conv_id window — the
+    former vanishes on a conv-bucketed table); the three metric levels
+    all reuse the conv_id clustering. The branchy draft cost 6."""
+    plan = _plan(spark, "trace_tool_chains")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_repetition_profile_reuses_window_exchange(spark):
+    """Bigram and run branches must share ONE doc_id window exchange
+    (ReuseExchange); only the narrow word_stats join may add one more."""
+    plan = _plan(spark, "text_repetition")
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_decontam_broadcasts_eval_side(spark):
+    """The eval n-gram set is O(1)-bounded by construction and must plan
+    as a broadcast join — a shuffle join here would ship the full corpus
+    n-gram stream."""
+    plan = _plan(spark, "decontam_ngram_overlap")
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
