@@ -66,6 +66,9 @@ EXTENDED = [
     "token_stats",
     "text_redact_pii",
     "embedding_quantize_int8",
+    "text_repetition",
+    "decontam_ngram_overlap",
+    "trace_tool_chains",
 ]
 
 

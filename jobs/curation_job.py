@@ -3,6 +3,8 @@
 the end-to-end composition of the engine's LLM-pipeline operators:
 
     documents ─ quality filter (text_profile)
+              ─ repetition gate (repetition_profile) and benchmark
+                decontamination (n-gram overlap vs capped eval set)
               ─ near-dup clustering (MinHash-LSH pairs → large-star/
                 small-star connected components) → keep canonicals
               ─ deterministic stratified sampling (per-lang permille)
@@ -41,6 +43,7 @@ from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn  # noqa
 from flink_cdc_mysql_sink_to_mysql_spark.operators import (  # noqa: E402
     cdc,
     components,
+    decontam,
     dedup,
     examples,
 )
@@ -64,6 +67,25 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         )
     )
     stats["n_quality"] = quality.count()
+
+    # 1b. repetition gate (Gopher-style): drop highly repetitious docs.
+    # Thresholds sit at ~p90/p99 of this corpus's distributions — the
+    # knobs a real pipeline tunes per-source.
+    rep_ok = textfn.repetition_profile(quality).where(
+        (F.col("dup_word_permille") <= 700)
+        & (F.col("top_bigram_permille") <= 120)
+    )
+    quality = quality.join(rep_ok.select("doc_id"), "doc_id")
+    stats["n_after_repetition"] = quality.count()
+
+    # 1c. benchmark decontamination: drop docs sharing ≥2 distinct
+    # n-grams with the (capped, broadcast) eval set; eval docs
+    # themselves never reach the training corpus by construction.
+    clean = decontam.decontaminate(quality, min_overlap=2).where(
+        F.col("contaminated") == 0
+    )
+    quality = quality.join(clean.select("doc_id"), "doc_id")
+    stats["n_decontaminated"] = quality.count()
 
     # 2. near-dup clusters → canonicals only
     clusters = components.dup_clusters(

@@ -18,6 +18,8 @@ def test_curation_job_stage_counts_monotone(spark, tmp_path):
     assert (
         stats["n_docs"]
         >= stats["n_quality"]
+        >= stats["n_after_repetition"]
+        >= stats["n_decontaminated"]
         >= stats["n_canonical"]
         >= stats["n_sampled"]
         > 0
