@@ -244,3 +244,141 @@ def conversation_progress_batch(turns: DataFrame) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).cast("int").alias("session_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tool-loop detector (streaming CEP alert + batch twin)
+# ---------------------------------------------------------------------------
+# The streaming form of operators/trace.py's stuck-agent signal: keyed
+# state per conv_id tracks only (current_tool, current_run_len) — O(1)
+# state per key — and emits ONE alert row the moment a same-tool run
+# reaches LOOP_N consecutive turns (re-armed when the run breaks). The
+# batch twin computes the identical alert set with the running-sum
+# gaps-and-islands windows, so ordered replays are equivalence-testable.
+
+LOOP_N = 3
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("tool", StringType()),
+        StructField("run_len", IntegerType()),
+    ]
+)
+
+LOOP_STATE_SCHEMA = StructType(
+    [
+        StructField("cur_tool", StringType()),
+        StructField("run_len", IntegerType()),
+    ]
+)
+
+
+def _loop_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+    cur_tool, run_len = state.get if state.exists else (None, 0)
+    # Fold in seq (changelog delivery) order — the spool replays chunks
+    # in seq order, so cross-microbatch state evolves exactly like the
+    # batch twin's seq-ordered window (ordering contract above).
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+    alerts: list[tuple[int, str]] = []
+    for turn_idx, role, tool in zip(
+        rows["turn_idx"], rows["role"], rows["tool"]
+    ):
+        if role != "tool" or pd.isna(tool):
+            cur_tool, run_len = None, 0
+            continue
+        run_len = run_len + 1 if tool == cur_tool else 1
+        cur_tool = tool
+        if run_len == LOOP_N:
+            alerts.append((int(turn_idx), tool))
+    state.update((cur_tool, int(run_len)))
+    yield pd.DataFrame(
+        {
+            "conv_id": conv_id,
+            "turn_idx": pd.Series(
+                [a[0] for a in alerts], dtype="int32"
+            ),
+            "tool": pd.Series([a[1] for a in alerts], dtype="object"),
+            "run_len": pd.Series([LOOP_N] * len(alerts), dtype="int32"),
+        }
+    )
+
+
+def tool_loop_stream(
+    spark,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming stuck-agent alerts over the envelope spool."""
+    from .pipeline import envelope_stream
+
+    env = envelope_stream(spark, spool_dir)
+    turns = env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").cast("int").alias("turn_idx"),
+        F.col("after.role").alias("role"),
+        F.col("after.tool").alias("tool"),
+        F.col("seq"),
+    )
+    alerts = turns.groupBy("conv_id").applyInPandasWithState(
+        _loop_fn,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=LOOP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        alerts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def tool_loop_alerts_batch(turns: DataFrame) -> DataFrame:
+    """Batch twin: identical alert set via running-sum run detection
+    (the operators/trace.py formulation — one conv_id exchange), folded
+    in the same seq order the stream delivers."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("seq")
+    run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_tool = (F.col("role") == "tool") & F.col("tool").isNotNull()
+    run_start = is_tool & (
+        F.lag("role").over(w).isNull()
+        | (F.lag("role").over(w) != "tool")
+        | ~F.col("tool").eqNullSafe(F.lag("tool").over(w))
+    )
+    with_run = turns.select(
+        "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        "role",
+        "tool",
+        "seq",
+        is_tool.alias("is_tool"),
+        F.sum(run_start.cast("int")).over(run_frame).alias("run_id"),
+    )
+    w_run = Window.partitionBy("conv_id", "is_tool", "run_id").orderBy(
+        "seq"
+    )
+    return (
+        with_run.withColumn("rn", F.row_number().over(w_run))
+        .where(F.col("is_tool") & (F.col("rn") == LOOP_N))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "tool",
+            F.lit(LOOP_N).cast("int").alias("run_len"),
+        )
+    )

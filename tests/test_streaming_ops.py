@@ -372,3 +372,25 @@ def test_dedup_envelopes_drops_cross_batch_redelivery(spark, tmp_path):
         ).distinct().count()
         == 40
     )
+
+
+def test_tool_loop_stream_matches_batch(spark, tmp_path, spool):
+    """Streaming stuck-agent alerts (O(1) keyed state, fires once per
+    run crossing) equal the batch running-sum twin on the seq-ordered
+    replay — including runs that span microbatch boundaries (3 chunks)."""
+    out = stateful.tool_loop_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    env = mysql_changelog(spark, SF)
+    turns = env.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.col("after.role").alias("role"),
+        F.col("after.tool").alias("tool"),
+        F.col("seq"),
+    )
+    want = sorted(
+        map(tuple, stateful.tool_loop_alerts_batch(turns).collect())
+    )
+    assert got == want and len(got) > 0
