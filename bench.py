@@ -69,6 +69,8 @@ EXTENDED = [
     "text_repetition",
     "decontam_ngram_overlap",
     "trace_tool_chains",
+    "shuffle_shards",
+    "sample_mixture",
 ]
 
 

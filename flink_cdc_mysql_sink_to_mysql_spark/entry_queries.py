@@ -560,6 +560,20 @@ def q_trace_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trace.trace_metrics(transcripts(spark, sf_dir))
 
 
+# Deterministic training-order shuffle: seeded portable hash → shard +
+# order key (replay-stable, engine-exact; operators/examples.py §5)
+@register("shuffle_shards", oracle=examples.shuffle_shards_sql("documents"))
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.shuffle_shards(_docs(spark, sf_dir))
+
+
+# Token-budget mixture sampling: per-lang acceptance rates from a 4-row
+# broadcast aggregate hit the budget·share targets (examples.py §6)
+@register("sample_mixture", oracle=examples.mixture_sample_sql("documents"))
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return examples.mixture_sample(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # 9. deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding)
 # ---------------------------------------------------------------------------

@@ -245,3 +245,146 @@ def stratified_topk_sql(rel: str, k: int = TOPK_PER_STRATUM) -> str:
       FROM ({rel})
     ) WHERE rank <= {k}
     """
+
+
+# -- 5. deterministic global shuffle (training-order randomization) --------
+
+SHUFFLE_SHARDS = 64
+SHUFFLE_SEED = 17
+
+
+def _seeded_hash(doc_id: Column, seed: int) -> Column:
+    """Portable seeded hash: md5 of 'seed:doc_id', first 8 hex digits as
+    int — identical in DuckDB (same construction as _id_hash)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), doc_id.cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def _seeded_hash_sql(doc_id: str, seed: int) -> str:
+    md5 = f"md5('{seed}:' || CAST({doc_id} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({md5}, {i}, 1)) - 1)"
+        f" * {16 ** (8 - i)}"
+        for i in range(1, 9)
+    )
+    return f"({terms})"
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = SHUFFLE_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Deterministic training-order shuffle: every doc gets a shard and
+    an order key from a seeded portable hash. Writing the result
+    `repartition(shard).sortWithinPartitions(order_key)` realizes a
+    reproducible global permutation with ONE shuffle whose partitions
+    are uniform by construction (hash of a hash) — no global sort, no
+    `rand()` (replay-stable under retries, unlike nondeterministic
+    sampling at 1000-executor scale). Changing the seed re-permutes;
+    same seed is bit-identical across engines/runs/partitionings."""
+    h = _seeded_hash(F.col("doc_id"), seed)
+    return docs.select(
+        "doc_id",
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+        h.alias("order_key"),
+    )
+
+
+def shuffle_shards_sql(
+    rel: str, n_shards: int = SHUFFLE_SHARDS, seed: int = SHUFFLE_SEED
+) -> str:
+    h = _seeded_hash_sql("doc_id", seed)
+    return f"""
+    SELECT doc_id,
+           CAST({h} % {n_shards} AS INTEGER) AS shard,
+           CAST({h} AS BIGINT) AS order_key
+    FROM {rel}
+    """
+
+
+# -- 6. token-budget mixture sampling (data-mixture construction) ----------
+
+MIX_SHARES = {"en": 500, "es": 200, "fr": 200, "de": 100}  # permille of budget
+MIX_BUDGET_TOKENS = 20_000  # n_chars proxy at test scale
+
+
+def mixture_sample(
+    docs: DataFrame,
+    shares: dict[str, int] | None = None,
+    budget: int = MIX_BUDGET_TOKENS,
+) -> DataFrame:
+    """Build a training mixture hitting per-language token-share targets:
+    each language is down-sampled (never up-) to ≈ budget·share/1000
+    tokens via the deterministic hash-bucket filter.
+
+    Two-pass plan: (1) per-lang token totals — a 4-row aggregate; (2)
+    broadcast the per-lang acceptance rate and filter. At 100 TB pass 1
+    is a map-side-combined agg producing O(langs) rows and pass 2 is a
+    narrow filter — nothing scales with the corpus but the scan.
+    Integer arithmetic throughout (floor-div) — cross-engine exact."""
+    shares = MIX_SHARES if shares is None else shares
+    share_col = F.lit(0)
+    for lang, pm in sorted(shares.items()):
+        share_col = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(share_col)
+
+    # Languages outside the mixture spec are dropped entirely (inner
+    # join below); rate = floor(budget·share/lang_tokens) permille,
+    # capped at 1000 (down-sampling only — upsampling is a repeat-epoch
+    # decision, not a filter).
+    totals = (
+        docs.where(F.col("lang").isin(*sorted(shares)))
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("lang_tokens"))
+        .select(
+            "lang",
+            F.least(
+                F.lit(1000),
+                F.floor(
+                    F.lit(budget).cast("bigint")
+                    * share_col.cast("bigint")
+                    / F.col("lang_tokens")
+                ),
+            )
+            .cast("int")
+            .alias("rate_permille"),
+        )
+    )
+    bucket = F.pmod(_id_hash(F.col("doc_id")), F.lit(1000))
+    return (
+        docs.join(F.broadcast(totals), "lang")
+        .where(bucket < F.col("rate_permille"))
+        .select("doc_id", "lang", "rate_permille")
+    )
+
+
+def mixture_sample_sql(
+    rel: str,
+    shares: dict[str, int] | None = None,
+    budget: int = MIX_BUDGET_TOKENS,
+) -> str:
+    shares = MIX_SHARES if shares is None else shares
+    langs = ", ".join(f"'{lg}'" for lg in sorted(shares))
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in sorted(shares.items())
+    )
+    return f"""
+    WITH totals AS (
+      SELECT lang,
+             CAST(LEAST(1000, floor(
+               {budget}::BIGINT * (CASE {arms} ELSE 0 END)::BIGINT
+               / sum(n_chars)
+             )) AS INTEGER) AS rate_permille
+      FROM {rel} WHERE lang IN ({langs}) GROUP BY lang
+    )
+    SELECT doc_id, lang, rate_permille
+    FROM {rel} JOIN totals USING (lang)
+    WHERE {_id_hash_sql('doc_id')} % 1000 < rate_permille
+    """

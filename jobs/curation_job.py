@@ -104,9 +104,25 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     sampled = canon.join(sampled_ids, "doc_id")
     stats["n_sampled"] = sampled.count()
 
-    # 4. sequence packing
+    # 4. sequence packing, then the realized deterministic training-order
+    # shuffle: seeded portable hash of the pack key → train shard +
+    # order key; repartition-by-shard + sortWithinPartitions is ONE
+    # shuffle realizing a reproducible global permutation (no global
+    # sort, no rand()).
     packed = examples.pack_sequences(sampled)
-    packed.write.mode("overwrite").parquet(os.path.join(workdir, "packed"))
+    okey = examples._seeded_hash(
+        F.concat_ws("|", "lang", "shard", "pack_id"), examples.SHUFFLE_SEED
+    )
+    n_train_shards = 16
+    shuffled = packed.withColumn(
+        "train_shard", F.pmod(okey, F.lit(n_train_shards)).cast("int")
+    ).withColumn("order_key", okey)
+    (
+        shuffled.repartition(n_train_shards, "train_shard")
+        .sortWithinPartitions("order_key")
+        .write.mode("overwrite")
+        .parquet(os.path.join(workdir, "packed"))
+    )
     agg = packed.agg(
         F.sum("n_tokens").alias("tokens"),
         F.count_distinct("lang", "shard", "pack_id").alias("packs"),

@@ -38,3 +38,24 @@ def test_curation_job_stage_counts_monotone(spark, tmp_path):
         F.sum(F.col("is_canonical").cast("int")).alias("n")
     )
     assert per.where("n != 1").count() == 0
+
+
+def test_packed_output_is_shuffled_deterministically(spark, tmp_path):
+    from curation_job import run
+
+    run(spark, SF, str(tmp_path))
+    packed = spark.read.parquet(str(tmp_path / "packed"))
+    assert packed.count() > 0
+    # every row carries its train shard + order key, and the shard is
+    # consistent with the seeded hash (replay-stable permutation)
+    from pyspark.sql import functions as F
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import examples
+
+    okey = examples._seeded_hash(
+        F.concat_ws("|", "lang", "shard", "pack_id"), examples.SHUFFLE_SEED
+    )
+    bad = packed.where(
+        (F.col("order_key") != okey)
+        | (F.col("train_shard") != F.pmod(okey, F.lit(16)).cast("int"))
+    )
+    assert bad.count() == 0

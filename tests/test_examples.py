@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from flink_cdc_mysql_sink_to_mysql_spark.operators import examples
 
 T0 = dt.datetime(2024, 1, 1)
+SF = "/root/testdata/sf0.001"
 
 
 def turns_df(spark, rows):
@@ -125,3 +126,46 @@ def test_token_stats_approx_tracks_exact(spark):
         # t-digest at accuracy=10k on ≤1k values: within one token
         for col in ("p50_tokens", "p90_tokens", "p99_tokens"):
             assert abs(getattr(a, col) - getattr(e, col)) <= 1.0, (lang, col)
+
+
+def test_shuffle_shards_deterministic_and_seed_sensitive(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.examples import (
+        shuffle_shards,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc_id"]: (r["shard"], r["order_key"]) for r in shuffle_shards(docs).collect()}
+    b = {r["doc_id"]: (r["shard"], r["order_key"]) for r in shuffle_shards(docs).collect()}
+    assert a == b  # replay-stable
+    c = {r["doc_id"]: (r["shard"], r["order_key"]) for r in shuffle_shards(docs, seed=18).collect()}
+    assert a != c  # a new seed re-permutes
+    # shards are usably balanced (hash uniformity): no empty shard at
+    # 500 docs / 64 shards would be too strict; bound the max instead
+    from collections import Counter
+
+    sizes = Counter(s for s, _ in a.values())
+    assert max(sizes.values()) <= 5 * (len(a) // 64 + 1)
+
+
+def test_mixture_sample_hits_budget_shares(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.examples import (
+        MIX_BUDGET_TOKENS,
+        MIX_SHARES,
+        mixture_sample,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    picked = mixture_sample(docs).join(docs.select("doc_id", "n_chars"), "doc_id")
+    got = {
+        r["lang"]: r["tok"]
+        for r in picked.groupBy("lang")
+        .agg(F.sum("n_chars").alias("tok"))
+        .collect()
+    }
+    assert set(got) <= set(MIX_SHARES)  # zh (not in the spec) dropped
+    for lang, tok in got.items():
+        target = MIX_BUDGET_TOKENS * MIX_SHARES[lang] / 1000
+        # hash sampling is exact-in-expectation; 2x tolerance at 500 docs
+        assert tok < 2 * target, (lang, tok, target)
+    assert sum(got.values()) > 0
