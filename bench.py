@@ -71,6 +71,7 @@ EXTENDED = [
     "trace_tool_chains",
     "shuffle_shards",
     "sample_mixture",
+    "conv_quality",
 ]
 
 

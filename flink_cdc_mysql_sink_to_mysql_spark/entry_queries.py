@@ -25,6 +25,7 @@ from .operators import (
     cdc,
     cohort,
     components,
+    convquality,
     decontam,
     dedup,
     examples,
@@ -548,6 +549,17 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("decontam_ngram_overlap", oracle=decontam.decontaminate_sql("documents"))
 def q_decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontam.decontaminate(_docs(spark, sf_dir))
+
+
+# Conversation-level curation gate (role balance, turn-length profile,
+# terminal-role completeness — operators/convquality.py): one max_by
+# hash agg on conv_id, partial+final, no window
+@register(
+    "conv_quality",
+    oracle=convquality.conversation_quality_sql(TRANSCRIPTS_SQL),
+)
+def q_conv_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return convquality.conversation_quality(transcripts(spark, sf_dir))
 
 
 # Agent tool-chain CEP metrics (gaps-and-islands) over the transcripts —

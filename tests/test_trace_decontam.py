@@ -136,3 +136,42 @@ def test_decontaminate_counts_distinct_overlap_once(spark):
     # distinct shared grams: 'p q r', 'q r p', 'r p q' appear in doc 20,
     # but only 'p q r' exists in the eval set -> n_overlap counts it ONCE
     assert out[20].n_overlap == 1
+
+
+def test_conversation_quality_gate(spark):
+    import datetime as dt
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.convquality import (
+        conversation_quality,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # good: user -> assistant, reasonable lengths
+        ("g", 0, "user", "hello there friend", None, t0),
+        ("g", 1, "assistant", "hi, how can I help", None, t0),
+        # truncated: ends on a user turn
+        ("t", 0, "user", "hello hello hello", None, t0),
+        ("t", 1, "assistant", "response response", None, t0),
+        ("t", 2, "user", "follow-up question", None, t0),
+        # monologue: no user turn at all
+        ("m", 0, "assistant", "talking to myself at length", None, t0),
+        ("m", 1, "assistant", "still going on and on", None, t0),
+        # stub: single turn
+        ("s", 0, "user", "hi", None, t0),
+        # degenerate: too-short average turn text
+        ("d", 0, "user", "a", None, t0),
+        ("d", 1, "assistant", "b", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r for r in conversation_quality(df).collect()}
+    assert out["g"].keep == 1
+    assert out["t"].keep == 0 and out["t"].ends_with_assistant == 0
+    assert out["m"].keep == 0 and out["m"].n_user == 0
+    assert out["s"].keep == 0 and out["s"].n_turns == 1
+    assert out["d"].keep == 0 and out["d"].avg_turn_chars == 1
+    assert out["g"].user_share_permille == 500
