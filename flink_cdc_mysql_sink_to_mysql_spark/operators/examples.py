@@ -161,7 +161,7 @@ def pack_sequences_sql(
       FROM (
         SELECT doc_id, lang,
                CAST({_id_hash_sql('doc_id')} % {shards} AS INTEGER) AS shard,
-               CAST(len({_sql_words()}) AS BIGINT) AS n_tokens
+               CAST(len({_sql_words()}) AS INTEGER) AS n_tokens
         FROM ({rel})
       )
     )
