@@ -72,6 +72,7 @@ EXTENDED = [
     "shuffle_shards",
     "sample_mixture",
     "conv_quality",
+    "vocab_top_terms",
 ]
 
 

@@ -537,6 +537,14 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Vocabulary induction: corpus-wide top-k term stats — one term-keyed
+# hash agg with map-side combine, then TakeOrderedAndProject (no global
+# sort); deterministic tie-break (functions/text.py)
+@register("vocab_top_terms", oracle=textfn.vocab_top_terms_sql("documents"))
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.vocab_top_terms(_docs(spark, sf_dir))
+
+
 # Gopher-style repetition signals (dup-word / top-bigram / max-run) —
 # all-integer, one doc_id exchange (see functions/text.py module doc)
 @register("text_repetition", oracle=textfn.repetition_profile_sql("documents"))

@@ -500,3 +500,57 @@ def repetition_profile_sql(rel: str) -> str:
     LEFT JOIN bigrams b USING (doc_id)
     LEFT JOIN runs r USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary induction (corpus-wide top-k term counts)
+# ---------------------------------------------------------------------------
+
+VOCAB_K = 100
+
+
+def vocab_top_terms(docs: DataFrame, k: int = VOCAB_K) -> DataFrame:
+    """Corpus-wide top-k terms by document frequency and total count —
+    the seed statistics a tokenizer/vocab build consumes.
+
+    Plan: explode words → ONE hash aggregation on the term (map-side
+    partial combine shrinks each partition to its distinct terms before
+    the shuffle — at 100 TB the shuffle carries O(partitions × |vocab|)
+    rows, not O(corpus tokens)) → global top-k via TakeOrderedAndProject
+    (a k-row heap per partition + k-row driver merge; no global sort).
+    Ties broken by term ASC — deterministic cross-engine.
+    """
+    from pyspark.sql import Window  # noqa: F401  (doc parity w/ siblings)
+
+    exploded = docs.select(
+        "doc_id", F.explode(words(F.col("text"))).alias("term")
+    )
+    counts = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    return (
+        counts.orderBy(
+            F.col("n_occurrences").desc(), F.col("term").asc()
+        )
+        .limit(k)
+        .select(
+            "term",
+            "n_occurrences",
+            "n_docs",
+        )
+    )
+
+
+def vocab_top_terms_sql(rel: str, k: int = VOCAB_K) -> str:
+    """DuckDB SQL computing exactly :func:`vocab_top_terms`."""
+    w = _sql_words()
+    return f"""
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, unnest({w}) AS term FROM {rel})
+    GROUP BY term
+    ORDER BY n_occurrences DESC, term ASC
+    LIMIT {k}
+    """

@@ -121,3 +121,11 @@ def test_decontam_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in plan
     for bad in ("BroadcastNestedLoop", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_vocab_top_terms_is_heap_topk_not_global_sort(spark):
+    """Global top-k must plan as TakeOrderedAndProject (per-partition
+    k-row heap + driver merge) over a partially-aggregated term count —
+    a global Sort here would shuffle the whole vocabulary."""
+    plan = _plan(spark, "vocab_top_terms")
+    assert "TakeOrderedAndProject" in plan
