@@ -393,17 +393,14 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
     from pyspark.sql import Window
 
     w = words(F.col("text"))
-    base = docs.select("doc_id", w.alias("w"))
-    word_stats = base.select(
-        "doc_id",
-        F.size("w").cast("int").alias("n_words"),
-        F.size(F.array_distinct("w")).cast("int").alias("n_distinct_words"),
-    )
 
-    # Single window pass (ONE exchange on doc_id, reused by both branches
-    # below — Spark's ReuseExchange; plan pinned in test_plans.py):
-    # lead() builds bigrams, a running sum of word-change indicators
-    # assigns run ids — same trick as operators/trace.py.
+    # Single tokenize + single window pass (ONE exchange on doc_id,
+    # reused by every branch below — Spark's ReuseExchange; plan pinned
+    # in test_plans.py): lead() builds bigrams, a running sum of
+    # word-change indicators assigns run ids — same trick as
+    # operators/trace.py. Word stats come from the SAME exploded stream
+    # (split(trim(text)) yields [''] for empty text, so every doc emits
+    # ≥1 row and no doc is lost to the explode).
     win = Window.partitionBy("doc_id").orderBy("pos")
     run_frame = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     run_start = (F.col("pos") == 0) | (
@@ -414,6 +411,11 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
         "word",
         F.lead("word", 1).over(win).alias("nxt"),
         F.sum(run_start.cast("int")).over(run_frame).alias("run_id"),
+    )
+
+    word_stats = wp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_words"),
+        F.count_distinct("word").cast("int").alias("n_distinct_words"),
     )
 
     bigrams = (

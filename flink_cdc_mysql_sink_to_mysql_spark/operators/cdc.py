@@ -152,11 +152,13 @@ def derive_turn_events(envelopes: DataFrame) -> DataFrame:
     base_kind = F.coalesce(F.col("_kind_override"), _kind_col(a["role"]))
 
     # D5 historical pair: a snapshot row carrying its own pre-snapshot
-    # edit (op='r', before non-null) emits a 2-event history instead of
+    # edit (op='r', before.text non-null — the payload test, matching
+    # the oracle's before_text IS NOT NULL; a before struct with NULL
+    # text is NOT a historical row) emits a 2-event history instead of
     # one insert event; if EITHER timestamp is null the whole record
     # drops (the reference's per-record NPE swallow covers both
     # emissions, UserBehaviorDebeziumDeserializer.java:72-74,165,171).
-    is_hist_row = (F.col("op") == "r") & b.isNotNull()
+    is_hist_row = (F.col("op") == "r") & b["text"].isNotNull()
     emit_hist = is_hist_row & b["ts"].isNotNull() & a["ts"].isNotNull()
 
     emit_insert = (
@@ -249,7 +251,8 @@ def derive_turn_events_pandas(
         )
     flat = envelopes.select(
         "op",
-        F.col("before").isNotNull().alias("has_before"),
+        # payload test, in lockstep with the Column path's is_hist_row
+        F.col("before.text").isNotNull().alias("has_before"),
         F.col("before.text").alias("b_text"),
         F.col("before.ts").alias("b_ts"),
         F.col("after.conv_id").alias("conv_id"),

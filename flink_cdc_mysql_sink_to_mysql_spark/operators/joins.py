@@ -105,7 +105,13 @@ def asof_join_backward(
     r_rank, l_rank = (0, 1) if inclusive else (1, 0)
     pay = F.struct(*[F.col(c) for c in payload])
     r = (
-        right.select(
+        # NULL right_ts rows can never satisfy `right_ts <= left_ts` —
+        # drop them up front. Without this, NULLs sort FIRST in the
+        # window and last(__p, ignorenulls) would carry their payload
+        # into every left row, diverging from ASOF-join semantics (and
+        # the DuckDB oracle, whose `ON l.ts >= r.ts` rejects NULL).
+        right.where(F.col(right_ts).isNotNull())
+        .select(
             F.col(key).alias("__k"),
             F.col(right_ts).alias("__ts"),
             pay.alias("__p"),

@@ -429,10 +429,13 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
     ELEMENT — Spark does no CSE inside higher-order-function scopes, an
     O(d²)/row trap measured in round 1 on the shingle path).
 
-    Oracle-exact: rounding is explicit half-AWAY-FROM-ZERO
-    (copysign(floor(|r|+0.5))) matching DuckDB's round(); everything
-    before it is IEEE double arithmetic identical in both engines.
-    numpy's bankers' np.round is deliberately NOT used. Zero vectors
+    Oracle-exact: rounding is explicit half-AWAY-FROM-ZERO via the
+    trunc/fraction construction (frac = r - trunc(r) is EXACT in IEEE
+    double, so the >= 0.5 test never sees rounding error) matching
+    DuckDB's round() bit-for-bit — floor(|r|+0.5) would NOT: the +0.5
+    addition rounds up at boundary doubles like 0.49999999999999994,
+    where C round() (and DuckDB) return 0. numpy's bankers' np.round is
+    deliberately NOT used either. Zero vectors
     quantize to all-zero with scale 0. Reconstruction error is reported
     per vector (order-independent max — safe to compare as doubles).
     """
@@ -448,7 +451,10 @@ def quantize_int8(emb: DataFrame) -> DataFrame:
                 scale = m / 127.0
                 if scale > 0.0:
                     r = x / scale
-                    q = np.copysign(np.floor(np.abs(r) + 0.5), r)
+                    i = np.trunc(r)
+                    q = np.where(
+                        np.abs(r - i) >= 0.5, i + np.copysign(1.0, r), i
+                    )
                 else:
                     q = np.zeros_like(x)
                 err = float(np.max(np.abs(q * scale - x))) if len(x) else 0.0

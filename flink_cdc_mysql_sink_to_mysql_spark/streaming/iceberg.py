@@ -151,4 +151,11 @@ class IcebergMergeSink:
         return {"epoch": int(epoch_id), "table": self.table}
 
     def snapshot(self, spark: SparkSession) -> DataFrame:
-        return spark.table(self.table).where(F.col("op") != "d")
+        # drop the bookkeeping columns so the schema is identical to
+        # MergeParquetSink.snapshot() — the drop-in contract consumers
+        # (and the golden row tests) rely on
+        return (
+            spark.table(self.table)
+            .where(F.col("op") != "d")
+            .drop("op", "seq", "ord")
+        )

@@ -207,6 +207,16 @@ class MergeParquetSink:
             # exact epoch replay (foreachBatch restart) — already committed
             return {"epoch": epoch_id, "skipped": True}
 
+        # The TABLE owns n_buckets: the constructor value applies only at
+        # creation; on resume the stored value wins. Otherwise a restart
+        # with a different n_buckets hashes deltas mod the wrong base and
+        # stale rows survive in never-reloaded buckets (silent duplicate
+        # keys — the exactly-once invariant breaks without any error).
+        stored = manifest.get("n_buckets")
+        if stored is not None and stored != self.n_buckets:
+            self.n_buckets = stored
+        manifest["n_buckets"] = self.n_buckets
+
         delta = envelope_rows(batch).withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),

@@ -66,6 +66,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
             "doc_id",
         )
     )
+    quality = quality.cache()
     stats["n_quality"] = quality.count()
 
     # 1b. repetition gate (Gopher-style): drop highly repetitious docs.
@@ -75,7 +76,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         (F.col("dup_word_permille") <= 700)
         & (F.col("top_bigram_permille") <= 120)
     )
-    quality = quality.join(rep_ok.select("doc_id"), "doc_id")
+    quality = quality.join(rep_ok.select("doc_id"), "doc_id").cache()
     stats["n_after_repetition"] = quality.count()
 
     # 1c. benchmark decontamination: drop docs sharing ≥2 distinct
@@ -84,7 +85,10 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     clean = decontam.decontaminate(quality, min_overlap=2).where(
         F.col("contaminated") == 0
     )
-    quality = quality.join(clean.select("doc_id"), "doc_id")
+    # cache each gate output: every stage below re-reads its input 2-3×
+    # (count + downstream joins + the LSH pair feed) — without these the
+    # whole upstream chain re-executes per consumer
+    quality = quality.join(clean.select("doc_id"), "doc_id").cache()
     stats["n_decontaminated"] = quality.count()
 
     # 2. near-dup clusters → canonicals only
@@ -96,7 +100,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     )
     canon = quality.join(
         clusters.where("is_canonical").select("doc_id"), "doc_id"
-    )
+    ).cache()
     stats["n_canonical"] = canon.count()
 
     # 3. deterministic per-lang rate sampling
@@ -119,7 +123,14 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     ).withColumn("order_key", okey)
     (
         shuffled.repartition(n_train_shards, "train_shard")
-        .sortWithinPartitions("order_key")
+        # order_key alone is NOT a total order (every doc in a pack
+        # shares the pack's key, and distinct packs can hash-collide);
+        # sortWithinPartitions would order tied rows by shuffle arrival —
+        # not reproducible. The pack key + pack_offset tiebreak makes the
+        # permutation bit-stable across runs.
+        .sortWithinPartitions(
+            "order_key", "lang", "shard", "pack_id", "pack_offset"
+        )
         .write.mode("overwrite")
         .parquet(os.path.join(workdir, "packed"))
     )
@@ -138,6 +149,8 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     stats["n_sft_examples"] = spark.read.parquet(
         os.path.join(workdir, "sft")
     ).count()
+    for df in (quality, canon):
+        df.unpersist()
     return stats
 
 

@@ -86,3 +86,27 @@ def test_asof_prev_user_gap_and_unmatched_convention(spark):
     assert out[1] == (0, 3 * 60_000)
     assert out[2] == (0, 4 * 60_000)
     assert out["c2"] == (-1, -1)
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts must not match anything: NULLs sort
+    first in the window pass and would otherwise be carried forward by
+    last(ignorenulls) — diverging from ASOF semantics and the DuckDB
+    oracle's `ON l.ts >= r.ts` (NULL comparison rejects the row)."""
+    import datetime as dt
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.joins import (
+        asof_join_backward,
+    )
+
+    t = dt.datetime(2024, 1, 1, 0, 10)
+    left = spark.createDataFrame(
+        [("k", t)], "key string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("k", None, 7)], "key string, rts timestamp, v int"
+    )
+    out = asof_join_backward(
+        left, right, key="key", left_ts="lts", right_ts="rts", payload=["v"]
+    ).collect()
+    assert len(out) == 1 and out[0]["matched"] is None

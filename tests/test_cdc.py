@@ -263,3 +263,35 @@ def test_apply_changelog_order_invariant(spark):
         map(tuple, cdc.apply_changelog(shuffled).collect())
     )
     assert again == base and len(base) > 0
+
+
+def test_hist_trigger_keys_on_before_text_not_struct(spark):
+    """A snapshot row whose before struct exists but carries NULL text
+    is a PLAIN insert (1 event), not a historical pair — the payload
+    test, matching the oracle's before_text IS NOT NULL. Both derive
+    paths must agree."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    env = spark.createDataFrame(
+        [
+            (
+                "r",
+                {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                 "text": None, "tool": None, "ts": t0},
+                {"conv_id": "c1", "turn_idx": 0, "role": "user",
+                 "text": "hello", "tool": None,
+                 "ts": t0 + dt.timedelta(minutes=1)},
+                1,
+            )
+        ],
+        "op string,"
+        " before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>,"
+        " after struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, seq long",
+    )
+    col_rows = cdc.derive_turn_events(env).collect()
+    pd_rows = cdc.derive_turn_events_pandas(env).collect()
+    assert len(col_rows) == 1 and col_rows[0]["event_name"] == "user_turn"
+    assert sorted(map(tuple, col_rows)) == sorted(map(tuple, pd_rows))

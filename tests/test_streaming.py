@@ -146,3 +146,52 @@ def test_console_sink_starts_and_drains(spark, tmp_path):
         assert q.lastProgress["numInputRows"] > 0
     finally:
         q.stop()
+
+
+def test_sink_n_buckets_is_table_owned(spark, tmp_path):
+    """Resuming a table with a different constructor n_buckets must NOT
+    re-bucket deltas mod a different base (silent duplicate keys): the
+    stored manifest value wins over the constructor argument."""
+    import datetime as dt
+
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    def env_batch(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    "c",
+                    {
+                        "conv_id": cid,
+                        "turn_idx": ti,
+                        "role": "user",
+                        "text": tx,
+                        "tool": None,
+                        "ts": dt.datetime(2024, 1, 1),
+                    },
+                    None,
+                    seq,
+                )
+                for cid, ti, tx, seq in rows
+            ],
+            "op string, after struct<conv_id:string,turn_idx:int,"
+            "role:string,text:string,tool:string,ts:timestamp>,"
+            " before struct<conv_id:string,turn_idx:int,role:string,"
+            "text:string,tool:string,ts:timestamp>, seq long",
+        )
+
+    root = str(tmp_path / "tbl")
+    rows1 = [(f"c{i}", 0, "v1", 1) for i in range(40)]
+    MergeParquetSink(root, n_buckets=8).merge_changelog(env_batch(rows1), 0)
+
+    # resume with a DIFFERENT constructor value: updates to the same keys
+    resumed = MergeParquetSink(root, n_buckets=32)
+    rows2 = [(f"c{i}", 0, "v2", 2) for i in range(40)]
+    resumed.merge_changelog(env_batch(rows2), 1)
+    assert resumed.n_buckets == 8  # table-owned value adopted
+
+    snap = resumed.snapshot(spark)
+    assert snap.count() == 40  # no duplicate (conv_id, turn_idx) keys
+    assert snap.where("text != 'v2'").count() == 0  # every key updated

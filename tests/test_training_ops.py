@@ -282,3 +282,35 @@ def test_redact_pii_semantics(spark):
     # IP swallowed before digit pass; remaining digit runs counted after
     assert rows[3].clean_text == "v<NUM> <IP> then <NUM> and <NUM>"
     assert (rows[3].n_email, rows[3].n_ip, rows[3].n_num) == (0, 1, 3)
+
+
+def test_quantize_int8_boundary_rounding_matches_duckdb(spark):
+    """floor(|r|+0.5) is NOT C round(): at r=0.49999999999999994 the
+    +0.5 addition rounds up to 1.0 while round() returns 0. The kernel
+    must use the exact trunc/fraction construction."""
+    import duckdb
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.similarity import (
+        quantize_int8,
+        quantize_int8_sql,
+    )
+
+    boundary = 0.49999999999999994
+    df = spark.createDataFrame(
+        [(1, [127.0, boundary, -boundary, 2.5, -2.5])],
+        "vec_id long, embedding array<float>",
+    )
+    # scale = 127/127 = 1.0 exactly, so r == x and the boundary value
+    # reaches the rounding step unchanged... except float32 storage: use
+    # the values as float32-roundtripped doubles on both sides.
+    got = quantize_int8(df).collect()[0]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE e AS SELECT 1::BIGINT AS vec_id, "
+        f"[127.0::FLOAT, {boundary}::FLOAT, {-boundary}::FLOAT, "
+        "2.5::FLOAT, -2.5::FLOAT] AS embedding"
+    )
+    want = con.execute(quantize_int8_sql("e")).df().iloc[0]
+    assert list(got["q"]) == list(want["q"])
+    assert got["scale"] == want["scale"]
+    assert got["max_abs_err"] == want["max_abs_err"]
