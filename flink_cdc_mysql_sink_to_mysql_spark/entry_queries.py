@@ -114,7 +114,7 @@ WITH my AS ({MYSQL_CHANGELOG_SQL}),
        FROM my
        UNION ALL
        SELECT 'c', conv_id, turn_idx, role, text, tool,
-              to_timestamp(create_time_ms / 1000.0), create_time_ms, 1
+              make_timestamp(create_time_ms * 1000), create_time_ms, 1
        FROM mo
      ),
      w AS (
@@ -189,7 +189,7 @@ WITH my AS ({MYSQL_CHANGELOG_SQL}),
      ),
      mongo_events AS (
        SELECT conv_id, turn_idx, 10 AS event_kind, text,
-              to_timestamp(create_time_ms / 1000.0) AS ts,
+              make_timestamp(create_time_ms * 1000) AS ts,
               create_time_ms AS seq
        FROM mo
      ),
@@ -287,7 +287,7 @@ def q_turn_events_pandas_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ev AS ({TURN_EVENTS_ORACLE})
     SELECT conv_id, turn_idx, event_kind, event_name, source_id,
-           strftime(to_timestamp(ts_ms / 1000.0) + INTERVAL 8 HOUR,
+           strftime(make_timestamp(ts_ms * 1000) + INTERVAL 8 HOUR,
                     '%Y-%m-%d %H:%M:%S') AS event_time_str,
            COALESCE(metric, CAST(-1 AS BIGINT)) AS metric
     FROM ev
@@ -433,7 +433,7 @@ def _events_for_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _turn_events_df(spark, sf_dir)
 
 
-_EVENTS_REL = f"SELECT *, to_timestamp(ts_ms / 1000.0) AS ts FROM ({TURN_EVENTS_ORACLE})"
+_EVENTS_REL = f"SELECT *, make_timestamp(ts_ms * 1000) AS ts FROM ({TURN_EVENTS_ORACLE})"
 _MEMBERS_REL = f"SELECT DISTINCT conv_id FROM ({TRANSCRIPTS_SQL})"
 
 

@@ -48,8 +48,11 @@ def words(text: Column) -> Column:
 
 
 def _permille(num: Column, den: Column) -> Column:
-    """floor(1000*num/den) as int — exact cross-engine (see module doc)."""
-    return F.floor(num * 1000 / den).cast("int")
+    """floor(1000*num/den) as int — exact cross-engine (see module doc).
+    The ×1000 runs in BIGINT: Spark 4's default ANSI mode raises
+    ARITHMETIC_OVERFLOW on int32 products, and counts above ~2.1M
+    (multi-MB documents) would otherwise abort the job."""
+    return F.floor(num.cast("long") * 1000 / den).cast("int")
 
 
 def _stop_hits(w: Column, lang: str) -> Column:
@@ -149,23 +152,34 @@ ROLL_MOD = 1_000_000_007
 
 
 def rolling_hash(t: Column) -> Column:
-    """Rabin–Karp polynomial rolling hash over the text's characters:
-    h = fold(h*B + ascii(c)) mod p. Exact integer arithmetic (h < p ≈
-    2^30, h*B + c < 2^38 — no int64 overflow), identical in any engine.
-    Character-at-a-time lambda fold: fine at profile scale; a corpus-
-    scale variant belongs in mapInPandas (byte-level numpy)."""
-    return F.aggregate(
-        F.split(t, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    """Rabin–Karp polynomial rolling hash over the text's PRINTABLE-ASCII
+    projection: h = fold(h*B + ascii(c)) mod p. Exact integer arithmetic
+    (h < p ≈ 2^30, h*B + c < 2^38 — no int64 overflow), identical in any
+    engine. The projection (strip chars outside \x20-\x7E first) is
+    what makes that true: on raw text the engines disagree structurally
+    — Spark splits UTF-16 code units (astral chars become surrogate
+    halves) while DuckDB splits codepoints, and Spark ascii('')=0 vs
+    DuckDB ord('')=-1 on empty text. Empty projection hashes to 0 in
+    both. Character-at-a-time lambda fold: fine at profile scale; a
+    corpus-scale variant belongs in mapInPandas (byte-level numpy)."""
+    clean = F.regexp_replace(t, r"[^\x20-\x7E]", "")
+    return F.when(F.length(clean) == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.split(clean, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+        )
     )
 
 
 def rolling_hash_sql(t: str = "text") -> str:
+    clean = f"regexp_replace({t}, '[^\\x20-\\x7E]', '', 'g')"
     return (
-        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
-        f" list_transform(string_split({t}, ''), c -> CAST(ord(c) AS BIGINT))),"
-        f" (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})"
+        f"CASE WHEN length({clean}) = 0 THEN CAST(0 AS BIGINT) ELSE"
+        f" list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(string_split({clean}, ''),"
+        f" c -> CAST(ord(c) AS BIGINT))),"
+        f" (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) END"
     )
 
 

@@ -302,18 +302,26 @@ def derive_turn_events_pandas(
             ) -> pd.DataFrame:
                 s = pdf[mask]
                 k = kcol[mask].astype("int64")
+                # nullable dtypes + masked concat: the Column path emits
+                # NULL turn_idx / source_id / metric for malformed rows
+                # (null after.turn_idx, null text); plain astype("int32")
+                # would CRASH on NaN instead — the two registered paths
+                # share one oracle and must agree row-for-row.
+                ti = s["turn_idx"].astype("Int64")
+                src = (s["conv_id"] + "#" + ti.astype(str)).mask(
+                    ti.isna() | s["conv_id"].isna()
+                )
+                ln = s[text_col].str.len()
                 return pd.DataFrame(
                     {
                         "conv_id": s["conv_id"],
-                        "turn_idx": s["turn_idx"].astype("int32"),
+                        "turn_idx": ti.astype("Int32"),
                         "event_kind": k.astype("int32"),
                         "event_name": k.map(KIND_NAME),
-                        "source_id": s["conv_id"]
-                        + "#"
-                        + s["turn_idx"].astype("int64").astype(str),
+                        "source_id": src,
                         "ts": s[ts_col],
                         "seq": s["seq"].astype("int64"),
-                        "metric": s[text_col].str.len().astype("float64"),
+                        "metric": ln.astype("object").where(ln.notna(), None),
                     }
                 )
 
@@ -344,6 +352,26 @@ def derive_turn_events_pandas(
     )
 
 
+def op_rank():
+    """Seq-tie rank: d > u > c > r (binlog order surrogate)."""
+    return (
+        F.when(F.col("op") == "d", 3)
+        .when(F.col("op") == "u", 2)
+        .when(F.col("op") == "c", 1)
+        .otherwise(0)
+    )
+
+
+def lww_ord():
+    """THE last-writer-wins total order: ord = seq*4 + op_rank.
+
+    Single-sourced here on purpose — the batch materialization below,
+    the parquet MERGE shim, and the Iceberg MERGE all compare this exact
+    expression; the exactly-once equivalence between them holds only if
+    nobody's copy drifts (streaming/sink.py imports these)."""
+    return F.col("seq").cast("long") * 4 + op_rank()
+
+
 def apply_changelog(envelopes: DataFrame) -> DataFrame:
     """Keyed last-writer-wins materialization of the changelog → current
     transcript table (the "CDC upsert view", SURVEY.md §4.2).
@@ -357,12 +385,6 @@ def apply_changelog(envelopes: DataFrame) -> DataFrame:
     Tie-break within equal seq: d > u > c > r (a delete at the same seq as
     an insert wins — binlog order surrogate).
     """
-    op_rank = (
-        F.when(F.col("op") == "d", 3)
-        .when(F.col("op") == "u", 2)
-        .when(F.col("op") == "c", 1)
-        .otherwise(0)
-    )
     key_ok = F.col("after").isNotNull() | F.col("before").isNotNull()
     kv = envelopes.where(key_ok).select(
         F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias(
@@ -371,7 +393,7 @@ def apply_changelog(envelopes: DataFrame) -> DataFrame:
         F.coalesce(F.col("after.turn_idx"), F.col("before.turn_idx"))
         .cast("int")
         .alias("turn_idx"),
-        ((F.col("seq").cast("long") * 4) + op_rank).alias("ord"),
+        lww_ord().alias("ord"),
         F.struct(F.col("op"), F.col("after")).alias("payload"),
     )
     winners = kv.groupBy("conv_id", "turn_idx").agg(

@@ -60,7 +60,9 @@ def conversation_quality(turns: DataFrame) -> DataFrame:
         "n_user",
         "n_assistant",
         "n_tool",
-        F.floor(F.col("n_user") * 1000 / F.col("n_turns"))
+        # ×1000 in BIGINT: ANSI mode would overflow int32 on 2M+-turn
+        # conversations (same fix as functions/text.py:_permille)
+        F.floor(F.col("n_user").cast("long") * 1000 / F.col("n_turns"))
         .cast("int")
         .alias("user_share_permille"),
         F.floor(F.col("total_chars") / F.col("n_turns"))

@@ -122,11 +122,17 @@ def cosine_topk_rank_sql(
 def lsh_bucket(col, offset: int = 0, bits: int = LSH_BITS) -> "F.Column":
     """Sign-bit LSH bucket id (int, 0..2^bits-1) of an embedding, read
     from dimensions [offset, offset+bits) — offset>0 selects a disjoint
-    hyperplane table for multi-table (OR) constructions."""
+    hyperplane table for multi-table (OR) constructions.
+
+    try_element_at, not element_at: Spark 4's default ANSI mode makes an
+    out-of-bounds element_at THROW, so vectors shorter than offset+bits
+    would crash the job; the NULL from try_element_at falls through the
+    >= 0.0 test to bit 0 — exactly the DuckDB oracle's list-index
+    semantics (embedding[i] out of range → NULL → CASE false → 0)."""
     bit_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bits - 1)),
         lambda j: F.when(
-            F.element_at(col, j + offset + 1) >= 0.0,
+            F.try_element_at(col, j + offset + F.lit(1)) >= 0.0,
             F.pow(F.lit(2.0), j).cast("int"),
         ).otherwise(F.lit(0)),
     )
@@ -344,10 +350,13 @@ def ivf_topk(
     the oracle runs the identical cell-restricted semantics. Pass
     ``centroids=`` (e.g. :func:`ivf_centroids_kmeans` output) to use a
     trained codebook instead of the deterministic sample."""
-    cents = F.broadcast(
+    # build the codebook ONCE and hand it to ivf_assign too — otherwise
+    # the centroids-derivation subtree is scanned and broadcast twice
+    base_cents = (
         ivf_centroids(emb, n_centroids) if centroids is None else centroids
     )
-    assigned = ivf_assign(emb, n_centroids, centroids=centroids)
+    cents = F.broadcast(base_cents)
+    assigned = ivf_assign(emb, n_centroids, centroids=base_cents)
     q_scored = (
         emb.where(_query_pred(every, q_cap))
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))

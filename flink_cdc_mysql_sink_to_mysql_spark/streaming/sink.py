@@ -63,7 +63,7 @@ import json
 import os
 import tempfile
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,19 +72,13 @@ MANIFEST = "_manifest.json"
 LINEAGE = "_lineage.jsonl"
 
 
-def _op_rank():
-    return (
-        F.when(F.col("op") == "d", 3)
-        .when(F.col("op") == "u", 2)
-        .when(F.col("op") == "c", 1)
-        .otherwise(0)
-    )
-
-
 def ord_expr():
-    """Cross-batch LWW total order: seq wins, then d > u > c > r at a
-    seq tie (binlog order surrogate, same as cdc.apply_changelog)."""
-    return F.col("seq").cast("long") * 4 + _op_rank()
+    """Cross-batch LWW total order — THE single-sourced expression from
+    operators/cdc.py (seq wins, then d > u > c > r at a seq tie); both
+    sinks and the batch materialization must never drift apart."""
+    from ..operators.cdc import lww_ord
+
+    return lww_ord()
 
 
 def envelope_rows(batch: DataFrame) -> DataFrame:
@@ -137,7 +131,6 @@ class MergeParquetSink:
 
     root: str
     n_buckets: int = 256
-    _version: int = field(default=0, init=False)
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:

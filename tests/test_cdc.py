@@ -295,3 +295,36 @@ def test_hist_trigger_keys_on_before_text_not_struct(spark):
     pd_rows = cdc.derive_turn_events_pandas(env).collect()
     assert len(col_rows) == 1 and col_rows[0]["event_name"] == "user_turn"
     assert sorted(map(tuple, col_rows)) == sorted(map(tuple, pd_rows))
+
+
+def test_pandas_path_survives_null_turn_idx(spark):
+    """Malformed envelope (NULL after.turn_idx, NULL text): the Column
+    path emits the event with NULL turn_idx/source_id/metric; the pandas
+    path must produce the identical row instead of crashing on the
+    int cast (IntCastingNaNError)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    env = spark.createDataFrame(
+        [
+            (
+                "c",
+                None,
+                {"conv_id": "c9", "turn_idx": None, "role": "user",
+                 "text": None, "tool": None, "ts": t0},
+                5,
+            )
+        ],
+        "op string,"
+        " before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>,"
+        " after struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, seq long",
+    )
+    col_rows = sorted(map(tuple, cdc.derive_turn_events(env).collect()))
+    pd_rows = sorted(map(tuple, cdc.derive_turn_events_pandas(env).collect()))
+    assert col_rows == pd_rows
+    assert len(col_rows) == 1
+    r = cdc.derive_turn_events(env).collect()[0]
+    assert r["turn_idx"] is None and r["source_id"] is None
+    assert r["metric"] is None
