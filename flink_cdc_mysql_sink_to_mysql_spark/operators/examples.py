@@ -253,9 +253,10 @@ SHUFFLE_SHARDS = 64
 SHUFFLE_SEED = 17
 
 
-def _seeded_hash(doc_id: Column, seed: int) -> Column:
-    """Portable seeded hash: md5 of 'seed:doc_id', first 8 hex digits as
-    int — identical in DuckDB (same construction as _id_hash)."""
+def seeded_hash(doc_id: Column, seed: int) -> Column:
+    """Portable seeded hash of any key column: md5 of 'seed:key', first
+    8 hex digits as int — identical in DuckDB (same construction as
+    _id_hash). Public: jobs reuse it for pack-level shuffle keys."""
     return F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(str(seed)), doc_id.cast("string"))),
@@ -290,7 +291,7 @@ def shuffle_shards(
     `rand()` (replay-stable under retries, unlike nondeterministic
     sampling at 1000-executor scale). Changing the seed re-permutes;
     same seed is bit-identical across engines/runs/partitionings."""
-    h = _seeded_hash(F.col("doc_id"), seed)
+    h = seeded_hash(F.col("doc_id"), seed)
     return docs.select(
         "doc_id",
         F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
@@ -388,3 +389,7 @@ def mixture_sample_sql(
     FROM {rel} JOIN totals USING (lang)
     WHERE {_id_hash_sql('doc_id')} % 1000 < rate_permille
     """
+
+
+# backward-compat alias (pre-round-2 name)
+_seeded_hash = seeded_hash

@@ -74,19 +74,51 @@ def main() -> None:
         root=os.path.join(args.workdir, "sink"), n_buckets=args.n_buckets
     )
 
-    # spool the bounded changelog once (idempotent: skip if present)
-    if not os.path.isdir(spool) or not os.listdir(spool):
-        pl.spool_changelog(mysql_changelog(spark, args.sf_dir), spool, args.chunks)
+    # The checkpoint commits a fixed source topology: resuming the same
+    # workdir with a different --with-mongo would make Spark abort with
+    # an obscure "number of streaming sources changed" — fail fast with
+    # a clear message instead.
+    topo_path = os.path.join(args.workdir, "topology.json")
+    topo = {"with_mongo": bool(args.with_mongo), "chunks": args.chunks}
+    if os.path.exists(topo_path):
+        with open(topo_path) as f:
+            prior_topo = json.load(f)
+        if prior_topo != topo:
+            raise SystemExit(
+                f"workdir {args.workdir} was created with {prior_topo}; "
+                f"rerun with the same flags or use a fresh --workdir "
+                f"(the streaming checkpoint pins the source topology)"
+            )
+    else:
+        os.makedirs(args.workdir, exist_ok=True)
+        with open(topo_path, "w") as f:
+            json.dump(topo, f)
+
+    def _spool_once(feed_fn, d: str, **kw) -> None:
+        """Spool exactly once per workdir, crash-safe: a non-empty dir
+        without the completion marker is a PARTIAL spool from a killed
+        run — re-spool from scratch (deterministic input) rather than
+        silently replaying a prefix of the changelog."""
+        marker = d + ".complete"
+        if os.path.exists(marker):
+            return
+        if os.path.isdir(d):
+            import shutil
+
+            shutil.rmtree(d)
+        paths = pl.spool_changelog(feed_fn(spark, args.sf_dir), d, args.chunks, **kw)
+        with open(marker, "w") as f:
+            json.dump({"chunks": len(paths)}, f)
+
+    _spool_once(mysql_changelog, spool)
     mongo_spool = None
     if args.with_mongo:
         mongo_spool = os.path.join(args.workdir, "spool_mongo")
-        if not os.path.isdir(mongo_spool) or not os.listdir(mongo_spool):
-            pl.spool_changelog(
-                mongo_changelog(spark, args.sf_dir),
-                mongo_spool,
-                args.chunks,
-                order_by="fullDocument.create_time.date",
-            )
+        _spool_once(
+            mongo_changelog,
+            mongo_spool,
+            order_by="fullDocument.create_time.date",
+        )
 
     def _lineage_lines(path: str) -> int:
         if not os.path.exists(path):

@@ -59,7 +59,9 @@ def main() -> None:
     env = cdc.union_feeds(
         mysql_changelog(spark, args.sf_dir), mongo_changelog(spark, args.sf_dir)
     )
-    events = cdc.derive_turn_events(env)
+    # cache: every rule below scans events twice (table write + set
+    # sink) — without this the CDC derivation chain re-executes 2R times
+    events = cdc.derive_turn_events(env).cache()
     members = transcripts(spark, args.sf_dir).select("conv_id").distinct()
 
     sizes = {}
@@ -68,11 +70,13 @@ def main() -> None:
         out = cohort.evaluate_rule(members, events, rule, args.now)
         path = os.path.join(args.workdir, f"cohort_rule_{i}")
         out.write.mode("overwrite").parquet(path)
-        sizes[f"rule_{i}"] = spark.read.parquet(path).count()
+        written = spark.read.parquet(path)
+        sizes[f"rule_{i}"] = written.count()
         # K2/K3 analog: lifecycle-managed per-partition client, ≤10k
         # chunked SADD into the (fake, file-backed) external set store —
-        # UserGroupClickHouseJob.java:144-151,154-188
-        sadd_sink(out, store_root, key=f"cohort:rule{i}")
+        # UserGroupClickHouseJob.java:144-151,154-188. Fed from the
+        # parquet just written, not the live plan (no recompute).
+        sadd_sink(written, store_root, key=f"cohort:rule{i}")
 
     print(
         json.dumps(

@@ -48,6 +48,7 @@ from flink_cdc_mysql_sink_to_mysql_spark.operators import (  # noqa: E402
     examples,
 )
 from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
+    mongo_changelog,
     mysql_changelog,
 )
 
@@ -66,7 +67,14 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
             "doc_id",
         )
     )
-    quality = quality.cache()
+    cached = []
+
+    def _cache(df):
+        df = df.cache()
+        cached.append(df)
+        return df
+
+    quality = _cache(quality)
     stats["n_quality"] = quality.count()
 
     # 1b. repetition gate (Gopher-style): drop highly repetitious docs.
@@ -76,7 +84,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         (F.col("dup_word_permille") <= 700)
         & (F.col("top_bigram_permille") <= 120)
     )
-    quality = quality.join(rep_ok.select("doc_id"), "doc_id").cache()
+    quality = _cache(quality.join(rep_ok.select("doc_id"), "doc_id"))
     stats["n_after_repetition"] = quality.count()
 
     # 1c. benchmark decontamination: drop docs sharing ≥2 distinct
@@ -88,7 +96,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     # cache each gate output: every stage below re-reads its input 2-3×
     # (count + downstream joins + the LSH pair feed) — without these the
     # whole upstream chain re-executes per consumer
-    quality = quality.join(clean.select("doc_id"), "doc_id").cache()
+    quality = _cache(quality.join(clean.select("doc_id"), "doc_id"))
     stats["n_decontaminated"] = quality.count()
 
     # 2. near-dup clusters → canonicals only
@@ -98,9 +106,11 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     clusters.write.mode("overwrite").parquet(
         os.path.join(workdir, "dup_clusters")
     )
-    canon = quality.join(
-        clusters.where("is_canonical").select("doc_id"), "doc_id"
-    ).cache()
+    canon = _cache(
+        quality.join(
+            clusters.where("is_canonical").select("doc_id"), "doc_id"
+        )
+    )
     stats["n_canonical"] = canon.count()
 
     # 3. deterministic per-lang rate sampling
@@ -114,7 +124,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     # shuffle realizing a reproducible global permutation (no global
     # sort, no rand()).
     packed = examples.pack_sequences(sampled)
-    okey = examples._seeded_hash(
+    okey = examples.seeded_hash(
         F.concat_ws("|", "lang", "shard", "pack_id"), examples.SHUFFLE_SEED
     )
     n_train_shards = 16
@@ -134,7 +144,7 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
         .write.mode("overwrite")
         .parquet(os.path.join(workdir, "packed"))
     )
-    agg = packed.agg(
+    agg = spark.read.parquet(os.path.join(workdir, "packed")).agg(
         F.sum("n_tokens").alias("tokens"),
         F.count_distinct("lang", "shard", "pack_id").alias("packs"),
     ).collect()[0]
@@ -143,13 +153,20 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
 
     # 5. SFT examples from the CDC-materialized transcript state — the
     # changelog engine feeding the training pipeline end-to-end
-    turns = cdc.apply_changelog(mysql_changelog(spark, sf_dir))
+    # BOTH dialect feeds: the mysql changelog deliberately omits every
+    # turn routed to the mongo feed (sources/transcripts.py), so a
+    # mysql-only apply leaves 1/7 of turns out of the SFT context
+    turns = cdc.apply_changelog(
+        cdc.union_feeds(
+            mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
+        )
+    )
     sft = examples.sft_examples(turns)
     sft.write.mode("overwrite").parquet(os.path.join(workdir, "sft"))
     stats["n_sft_examples"] = spark.read.parquet(
         os.path.join(workdir, "sft")
     ).count()
-    for df in (quality, canon):
+    for df in cached:
         df.unpersist()
     return stats
 

@@ -51,7 +51,7 @@ def test_packed_output_is_shuffled_deterministically(spark, tmp_path):
     from pyspark.sql import functions as F
     from flink_cdc_mysql_sink_to_mysql_spark.operators import examples
 
-    okey = examples._seeded_hash(
+    okey = examples.seeded_hash(
         F.concat_ws("|", "lang", "shard", "pack_id"), examples.SHUFFLE_SEED
     )
     bad = packed.where(
