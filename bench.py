@@ -73,6 +73,7 @@ EXTENDED = [
     "sample_mixture",
     "conv_quality",
     "vocab_top_terms",
+    "dedup_conversations",
 ]
 
 

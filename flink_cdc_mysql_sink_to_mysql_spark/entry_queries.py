@@ -545,6 +545,16 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.vocab_top_terms(_docs(spark, sf_dir))
 
 
+# Conversation-grain exact dedup: order-deterministic fingerprint per
+# transcript (one conv_id hash agg; operators/dedup.py)
+@register(
+    "dedup_conversations",
+    oracle=dedup.conversation_fingerprints_sql(TRANSCRIPTS_SQL),
+)
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.conversation_fingerprints(transcripts(spark, sf_dir))
+
+
 # Gopher-style repetition signals (dup-word / top-bigram / max-run) —
 # all-integer, one doc_id exchange (see functions/text.py module doc)
 @register("text_repetition", oracle=textfn.repetition_profile_sql("documents"))

@@ -580,3 +580,76 @@ def embedding_near_dup_lsh_sql(
       ON a.vec_id < b.vec_id AND ({any_table})
     WHERE {cos} >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# conversation-level exact dedup (transcript grain)
+# ---------------------------------------------------------------------------
+
+
+def conversation_fingerprints(turns: DataFrame) -> DataFrame:
+    """(conv_id, conv_fp, n_turns): md5 over the conversation's turns in
+    (turn_idx, role, text) order — the conversation-grain analog of
+    exact_dedup_groups. Identical transcripts (same ordered turn
+    sequence) share a fingerprint regardless of conv_id.
+
+    ONE hash aggregation on conv_id: collect_list(struct) is unordered
+    under shuffle, so the list is array_sort-ed by the struct's leading
+    turn_idx field before serialization — deterministic across
+    partitionings/replays. Per-conv memory is bounded by conversation
+    length (same bound as any per-key state in this engine)."""
+    rec = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("turn_idx"),
+                F.col("role"),
+                F.coalesce(F.col("text"), F.lit("\x00")).alias("text"),
+            )
+        )
+    )
+    line = F.aggregate(
+        rec,
+        F.lit(""),
+        lambda acc, s: F.concat(
+            acc,
+            F.lit("\x01"),
+            s["turn_idx"].cast("string"),
+            F.lit("\x02"),
+            s["role"],
+            F.lit("\x02"),
+            s["text"],
+        ),
+    )
+    return turns.groupBy("conv_id").agg(
+        F.md5(line).alias("conv_fp"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+
+
+def conversation_dup_groups(turns: DataFrame) -> DataFrame:
+    """Duplicate-conversation groups: fingerprints shared by ≥2 convs,
+    with the canonical (min conv_id) representative — compose with a
+    join to drop non-canonical transcripts whole."""
+    fps = conversation_fingerprints(turns)
+    return (
+        fps.groupBy("conv_fp")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_convs"),
+            F.min("conv_id").alias("canonical_conv_id"),
+        )
+        .where(F.col("n_convs") >= 2)
+    )
+
+
+def conversation_fingerprints_sql(rel: str) -> str:
+    """DuckDB twin of :func:`conversation_fingerprints`."""
+    return f"""
+    SELECT conv_id,
+           md5(string_agg(
+             chr(1) || CAST(turn_idx AS VARCHAR) || chr(2) || role
+                    || chr(2) || COALESCE(text, chr(0)),
+             '' ORDER BY turn_idx
+           )) AS conv_fp,
+           CAST(count(*) AS INTEGER) AS n_turns
+    FROM ({rel}) GROUP BY conv_id
+    """

@@ -6,6 +6,8 @@ test_oracle_parity.py."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from flink_cdc_mysql_sink_to_mysql_spark.functions.text import (
     repetition_profile,
 )
@@ -175,3 +177,54 @@ def test_conversation_quality_gate(spark):
     assert out["s"].keep == 0 and out["s"].n_turns == 1
     assert out["d"].keep == 0 and out["d"].avg_turn_chars == 1
     assert out["g"].user_share_permille == 500
+
+
+def test_conversation_dup_groups(spark):
+    import datetime as dt
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.dedup import (
+        conversation_dup_groups,
+        conversation_fingerprints,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # a and c are identical transcripts; b differs in one text
+        ("a", 0, "user", "hi", None, t0),
+        ("a", 1, "assistant", "hello", None, t0),
+        ("c", 0, "user", "hi", None, t0),
+        ("c", 1, "assistant", "hello", None, t0),
+        ("b", 0, "user", "hi", None, t0),
+        ("b", 1, "assistant", "HELLO", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    fps = {r["conv_id"]: r["conv_fp"] for r in conversation_fingerprints(df).collect()}
+    assert fps["a"] == fps["c"] != fps["b"]
+    groups = conversation_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_convs"] == 2 and groups[0]["canonical_conv_id"] == "a"
+
+
+def test_conversation_fingerprint_is_shuffle_order_invariant(spark):
+    import datetime as dt
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators.dedup import (
+        conversation_fingerprints,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("x", i, "user", f"t{i}", None, t0) for i in range(20)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    a = conversation_fingerprints(df.repartition(8)).collect()[0]["conv_fp"]
+    b = conversation_fingerprints(df.orderBy(F.desc("turn_idx"))).collect()[0][
+        "conv_fp"
+    ]
+    assert a == b  # array_sort makes the fold input deterministic
