@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -87,7 +88,11 @@ def run(sf_dir: str, cpus: int, names_list: list[str] | None = None) -> dict:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_queries.queries()
-    names = [n for n in (names_list or HEADLINE) if n in qs]
+    names = list(names_list or HEADLINE)
+    missing = [n for n in names if n not in qs]
+    # a renamed registry entry must fail LOUDLY — silently shrinking the
+    # set would read as a spurious perf win against the baseline
+    assert not missing, f"bench names not in the query registry: {missing}"
     # Warm-up, excluded from timings: JVM JIT + parquet footer cache
     # (first query) and the Python worker pool (one full mapInPandas
     # pass — steady-state is what a streaming job sees: workers are
@@ -105,7 +110,7 @@ def run(sf_dir: str, cpus: int, names_list: list[str] | None = None) -> dict:
     return times
 
 
-def run_scaling(sf_dir: str, cpus_hi: int) -> dict:
+def run_scaling(sf_dir: str) -> dict:
     """Changelog-apply throughput at N vs 4N cores (north-rule evidence).
 
     N=2 vs 4N=8 by default — the sandbox's cgroup CPU quota caps real
@@ -171,7 +176,8 @@ def run_merge_amplification(cpus: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    m = re.search(r"sf([0-9.]+)/*$", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
 
     if "--merge-amplification" in sys.argv:
         print(json.dumps(run_merge_amplification(cpus)))
@@ -203,7 +209,7 @@ def main() -> None:
         "cpus": cpus,
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
-        out["scaling"] = run_scaling(sf_dir, cpus)
+        out["scaling"] = run_scaling(sf_dir)
     if os.environ.get("SPARK_GRAFT_BENCH_MERGE"):
         out["merge_amplification"] = run_merge_amplification(cpus)
     print(json.dumps(out))

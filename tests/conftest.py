@@ -35,13 +35,6 @@ def spark():
     s.stop()
 
 
-@pytest.fixture(scope="session")
-def duck():
-    import duckdb
-
-    return duckdb.connect()
-
-
 def register_views(con, sf_dir: str) -> None:
     for t in TABLES:
         con.execute(

@@ -13,7 +13,8 @@ PKG = Path(__file__).resolve().parents[1] / "flink_cdc_mysql_sink_to_mysql_spark
 FORBIDDEN = [
     r"\bF\.udf\(",
     r"^\s*@udf\b",
-    r"\budf\s*\(\s*lambda",
+    r"\budf\s*\(",  # any bare call form, incl. udf(named_fn)
+    r"import\s+udf\b",  # the import that enables the bare form
     r"spark\.udf\.register",
     r"\.rdd\b",  # no RDD hops in the engine either
 ]

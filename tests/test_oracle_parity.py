@@ -27,7 +27,7 @@ def test_query_matches_oracle(spark, duck_correct, name):
     sdf = q(spark, SF_CORRECT)
     oracle = entry.oracle_sql().get(name)
     if oracle is None:
-        assert sdf.count() >= 0  # rows-only check (non-SQL-expressible op)
+        assert sdf.count() > 0  # rows-only check (non-SQL-expressible op)
         return
     ddf = duck_correct.execute(oracle).df()
     assert_same(sdf, ddf, name)

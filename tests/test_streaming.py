@@ -52,7 +52,11 @@ def test_stream_matches_batch_golden(spark, tmp_path, golden):
     # carries the exact per-epoch row accounting.
     recs = [json.loads(l) for l in open(lineage)]
     assert len(recs) >= 1
-    assert all(r["observed"]["rows"] == r["numInputRows"] for r in recs if r["observed"])
+    obs = [r for r in recs if r["observed"]]
+    # non-vacuous: at least one flushed progress event must carry the
+    # observed metrics, or the row-accounting property un-tests itself
+    assert obs
+    assert all(r["observed"]["rows"] == r["numInputRows"] for r in obs)
     sink_lineage = [
         json.loads(l) for l in open(os.path.join(sink.root, "_lineage.jsonl"))
     ]

@@ -239,10 +239,11 @@ def test_late_update_cannot_reopen_closed_session(spark, tmp_path):
     out = pl.session_windows_stream(
         spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
     )
-    got = {(r.conv_id, r.n_turns) for r in spark.read.parquet(out).collect()}
+    got = [(r.conv_id, r.n_turns) for r in spark.read.parquet(out).collect()]
     # cX's session closed with its 2 on-time turns; the late update was
-    # dropped — no reopen, no extension, no duplicate emission.
-    assert ("cX", 2) in got
+    # dropped — no reopen, no extension, no duplicate emission. A LIST,
+    # not a set: a re-emitted identical session row must fail the count.
+    assert got.count(("cX", 2)) == 1
     assert sum(1 for c, _ in got if c == "cX") == 1
 
 

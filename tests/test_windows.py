@@ -20,8 +20,8 @@ def turns_df(spark, minutes, cid="c"):
 
 
 def test_session_gap_boundary(spark):
-    # gap = 30min; diff == gap starts a NEW session (Spark semantics:
-    # merge only while next_ts < prev_ts + gap)
+    # gap = 30min; Spark merges adjacent [ts, ts+gap) ranges, so a turn
+    # at EXACTLY prev_ts + gap still merges (pinned below)
     df = turns_df(spark, [0, 29, 59, 89.0001])
     out = windows.session_windows(df, gap="30 minutes").collect()
     # 0→29 diff 29 (merge), 29→59 diff == gap (still MERGES — Spark

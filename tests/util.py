@@ -17,9 +17,9 @@ def _canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        return round(v, 6) + 0.0  # +0.0 folds -0.0 into 0.0 (str-sort vs == divergence)
     if isinstance(v, decimal.Decimal):
-        return round(float(v), 6)
+        return round(float(v), 6) + 0.0
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if hasattr(v, "item"):  # numpy scalar
