@@ -43,6 +43,7 @@ from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn  # noqa
 from flink_cdc_mysql_sink_to_mysql_spark.operators import (  # noqa: E402
     cdc,
     components,
+    convquality,
     decontam,
     dedup,
     examples,
@@ -152,7 +153,9 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     stats["n_packs"] = int(agg["packs"])
 
     # 5. SFT examples from the CDC-materialized transcript state — the
-    # changelog engine feeding the training pipeline end-to-end
+    # changelog engine feeding the training pipeline end-to-end;
+    # conversation-grain curation gate first (keep=1: balanced roles,
+    # sane turn lengths, complete exchanges — operators/convquality.py)
     # BOTH dialect feeds: the mysql changelog deliberately omits every
     # turn routed to the mongo feed (sources/transcripts.py), so a
     # mysql-only apply leaves 1/7 of turns out of the SFT context
@@ -161,7 +164,13 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
             mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
         )
     )
-    sft = examples.sft_examples(turns)
+    kept_convs = convquality.conversation_quality(turns).where(
+        F.col("keep") == 1
+    )
+    stats["n_convs_kept"] = kept_convs.count()
+    sft = examples.sft_examples(
+        turns.join(kept_convs.select("conv_id"), "conv_id")
+    )
     sft.write.mode("overwrite").parquet(os.path.join(workdir, "sft"))
     stats["n_sft_examples"] = spark.read.parquet(
         os.path.join(workdir, "sft")

@@ -25,6 +25,7 @@ def test_curation_job_stage_counts_monotone(spark, tmp_path):
         > 0
     )
     assert stats["total_tokens"] > 0 and stats["n_packs"] > 0
+    assert stats["n_convs_kept"] > 0
     assert stats["n_sft_examples"] > 0
     # artifacts written
     for sub in ("dup_clusters", "packed", "sft"):
