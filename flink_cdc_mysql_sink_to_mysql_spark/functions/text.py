@@ -160,8 +160,13 @@ def rolling_hash(t: Column) -> Column:
     — Spark splits UTF-16 code units (astral chars become surrogate
     halves) while DuckDB splits codepoints, and Spark ascii('')=0 vs
     DuckDB ord('')=-1 on empty text. Empty projection hashes to 0 in
-    both. Character-at-a-time lambda fold: fine at profile scale; a
-    corpus-scale variant belongs in mapInPandas (byte-level numpy)."""
+    both. Character-at-a-time lambda fold: fine at profile scale.
+
+    ASCII-ONLY by construction: texts differing solely in non-ASCII
+    characters collide (an all-CJK doc hashes to 0, same as empty) —
+    do NOT use this as a dedup signal on multilingual corpora; use
+    :func:`rolling_fp_codepoint` (codepoint-exact, mapInPandas numpy
+    kernel, own DuckDB oracle) there."""
     clean = F.regexp_replace(t, r"[^\x20-\x7E]", "")
     return F.when(F.length(clean) == 0, F.lit(0).cast("long")).otherwise(
         F.aggregate(
@@ -181,6 +186,66 @@ def rolling_hash_sql(t: str = "text") -> str:
         f" c -> CAST(ord(c) AS BIGINT))),"
         f" (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) END"
     )
+
+
+def rolling_fp_codepoint(docs: DataFrame) -> DataFrame:
+    """Codepoint-level Rabin–Karp fingerprint — the multilingual form of
+    ``rolling_fp`` (which projects to printable ASCII first, so two
+    texts differing only in non-ASCII characters collide: an all-CJK
+    document hashes to 0, same as empty text — that variant must not be
+    a dedup signal on multilingual corpora; this one can be).
+
+    h = fold(h·B + codepoint(c)) mod p over UNICODE CODEPOINTS, which
+    both engines can agree on (Python ``str`` iterates codepoints;
+    DuckDB ``string_split(t,'')`` + ``ord`` yields codepoints), unlike
+    Spark's Column-land ``split``/``ascii`` which see UTF-16 code
+    units. Vectorized mapInPandas kernel: the fold is computed as the
+    equivalent power sum Σ cp_i·B^(n−1−i) mod p with one numpy
+    multiply+mod per document (cp < 2^21, B^k mod p < 2^30 ⇒ products
+    < 2^51, exact in int64). Narrow map stage — scan-pruned to
+    (doc_id, text), no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(it):
+        pows = np.array([1], dtype=np.int64)  # B^k mod p, grown on demand
+        for pdf in it:
+            texts = pdf["text"].fillna("")
+            need = int(texts.str.len().max() or 0)
+            while len(pows) < need:
+                pows = np.append(pows, pows[-1] * ROLL_BASE % ROLL_MOD)
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                n = len(t)
+                if n == 0:
+                    continue
+                cps = np.frombuffer(
+                    t.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                out[i] = (cps * pows[n - 1 :: -1] % ROLL_MOD).sum() % ROLL_MOD
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "rolling_fp_cp": out}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, "doc_id long, rolling_fp_cp long"
+    )
+
+
+def rolling_fp_codepoint_sql(rel: str) -> str:
+    """DuckDB twin of :func:`rolling_fp_codepoint` (codepoint fold)."""
+    t = "COALESCE(text, '')"
+    return f"""
+    SELECT doc_id,
+           CASE WHEN length({t}) = 0 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split({t}, ''),
+                 c -> CAST(ord(c) AS BIGINT))),
+               (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}) END
+             AS rolling_fp_cp
+    FROM {rel}
+    """
 
 
 def shingles(w: Column, n: int = 3) -> Column:

@@ -648,7 +648,7 @@ def conversation_fingerprints_sql(rel: str) -> str:
            md5(string_agg(
              chr(1) || CAST(turn_idx AS VARCHAR) || chr(2) || role
                     || chr(2) || COALESCE(text, chr(0)),
-             '' ORDER BY turn_idx
+             '' ORDER BY turn_idx, role, COALESCE(text, chr(0))
            )) AS conv_fp,
            CAST(count(*) AS INTEGER) AS n_turns
     FROM ({rel}) GROUP BY conv_id

@@ -82,3 +82,95 @@ def session_windows(
             "last_turn",
         )
     )
+
+
+def late_data_counts(
+    events: DataFrame,
+    size_ms: int = 600_000,
+    delay_ms: int = 1_800_000,
+    batch_ms: int = 600_000,
+) -> DataFrame:
+    """Batch twin of the streaming watermark late-drop semantics
+    (streaming/pipeline.py:windowed_counts_stream) — oracle-checkable.
+
+    Models Spark's per-microbatch watermark exactly: rows are grouped
+    into arrival batches (``batch_id = floor(arrival_ms / batch_ms)``),
+    the watermark seen by a batch is ``max(event ts of all PREVIOUS
+    batches) − delay``, and a row is late-dropped iff its tumbling
+    window has already closed (``win_end ≤ wm``) — the same rule the
+    streaming state store applies. Output: per (window, conv_id) counts
+    of on-time and late rows.
+
+    Scale shape: the running max runs over the per-batch aggregate
+    (one row per batch_ms of arrival time — tiny by construction, NOT
+    proportional to data volume), which then broadcast-joins back to
+    the events; the only data-sized exchanges are the two hash aggs.
+
+    Input columns: conv_id, ts_ms (event time), arrival_ms (delivery
+    order — the streaming analog is file-arrival order in the spool).
+    """
+    from pyspark.sql import Window
+
+    ev = events.withColumn(
+        "batch_id", F.floor(F.col("arrival_ms") / F.lit(batch_ms))
+    )
+    per_batch = ev.groupBy("batch_id").agg(F.max("ts_ms").alias("mx"))
+    wb = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = per_batch.select(
+        "batch_id", (F.max("mx").over(wb) - F.lit(delay_ms)).alias("wm")
+    )
+    win_start = (F.floor(F.col("ts_ms") / F.lit(size_ms)) * size_ms).cast(
+        "long"
+    )
+    late = F.col("wm").isNotNull() & (win_start + size_ms <= F.col("wm"))
+    return (
+        ev.join(F.broadcast(wm), "batch_id")
+        .groupBy(win_start.alias("win_start_ms"), F.col("conv_id"))
+        .agg(
+            F.sum(F.when(~late, 1).otherwise(0)).cast("bigint").alias(
+                "n_on_time"
+            ),
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias(
+                "n_late"
+            ),
+        )
+    )
+
+
+def late_data_counts_sql(
+    rel: str,
+    size_ms: int = 600_000,
+    delay_ms: int = 1_800_000,
+    batch_ms: int = 600_000,
+) -> str:
+    """DuckDB twin of :func:`late_data_counts`. ``rel`` must project
+    conv_id, ts_ms, arrival_ms."""
+    return f"""
+    WITH b AS (
+      SELECT *, CAST(floor(arrival_ms / {batch_ms}.0) AS BIGINT) AS batch_id
+      FROM ({rel})
+    ),
+    m AS (SELECT batch_id, max(ts_ms) AS mx FROM b GROUP BY batch_id),
+    w AS (
+      SELECT batch_id,
+             max(mx) OVER (ORDER BY batch_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {delay_ms} AS wm
+      FROM m
+    ),
+    f AS (
+      SELECT b.conv_id,
+             CAST(floor(b.ts_ms / {size_ms}.0) AS BIGINT) * {size_ms}
+               AS win_start_ms,
+             (w.wm IS NOT NULL AND
+              CAST(floor(b.ts_ms / {size_ms}.0) AS BIGINT) * {size_ms}
+                + {size_ms} <= w.wm) AS late
+      FROM b JOIN w USING (batch_id)
+    )
+    SELECT win_start_ms, conv_id,
+           CAST(count(*) FILTER (WHERE NOT late) AS BIGINT) AS n_on_time,
+           CAST(count(*) FILTER (WHERE late) AS BIGINT) AS n_late
+    FROM f GROUP BY 1, 2
+    """

@@ -179,6 +179,23 @@ class MergeParquetSink:
             return None
         return self._read_paths(spark, rels)
 
+    def _verify_base_against_data(self, spark: SparkSession, manifest: dict) -> None:
+        """Refuse to resume a legacy (pre-n_buckets) manifest unless the
+        constructor base is provably consistent with the stored data."""
+        table = self._read_paths(spark, list(manifest["buckets"].values()))
+        bad = table.where(
+            F.col("bucket")
+            != F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int")
+        ).count()
+        if bad:
+            raise ValueError(
+                f"manifest at {self.root} predates n_buckets tracking and "
+                f"{bad} stored rows are inconsistent with n_buckets="
+                f"{self.n_buckets}; resuming would strand stale keys in "
+                "never-reloaded buckets. Re-open the sink with the "
+                "n_buckets the table was created with."
+            )
+
     # -- merge -------------------------------------------------------------
     def merge_changelog(self, batch: DataFrame, epoch_id: int) -> dict:
         """MERGE a micro-batch of envelope rows into the table.
@@ -206,6 +223,18 @@ class MergeParquetSink:
         # stale rows survive in never-reloaded buckets (silent duplicate
         # keys — the exactly-once invariant breaks without any error).
         stored = manifest.get("n_buckets")
+        if stored is None and manifest["buckets"]:
+            # Legacy manifest: committed buckets but no persisted base
+            # (written before n_buckets was recorded). Adopting the
+            # constructor default blind would be the exact violation the
+            # guard exists to prevent, so VERIFY the constructor base
+            # against the stored bucket column: exactly-once resume under
+            # base B needs every stored row to sit in bucket pmod(hash, B)
+            # — if that holds, deltas under B always reload the bucket
+            # holding any stale copy of their key. One-time full scan;
+            # the manifest records n_buckets afterwards.
+            self._verify_base_against_data(spark, manifest)
+            stored = self.n_buckets
         if stored is not None and stored != self.n_buckets:
             self.n_buckets = stored
         manifest["n_buckets"] = self.n_buckets

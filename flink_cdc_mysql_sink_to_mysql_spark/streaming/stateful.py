@@ -316,11 +316,20 @@ def tool_loop_stream(
     out_dir: str,
     checkpoint_dir: str,
 ):
-    """Streaming stuck-agent alerts over the envelope spool."""
+    """Streaming stuck-agent alerts over the envelope spool.
+
+    Only insert-like envelopes (op 'c'/'r') feed the run-length state:
+    an op='u' edit re-delivers a turn the detector already counted, and
+    folding it again would fire a stuck-loop alert after LOOP_N−1 real
+    turns (one edited turn counted twice). Filtering ops keeps the state
+    O(1) per conv — deduping on (conv_id, turn_idx) instead would need
+    a per-key seen-set."""
     from .pipeline import envelope_stream
 
     env = envelope_stream(spark, spool_dir)
-    turns = env.where(F.col("after").isNotNull()).select(
+    turns = env.where(
+        F.col("after").isNotNull() & F.col("op").isin("c", "r")
+    ).select(
         F.col("after.conv_id").alias("conv_id"),
         F.col("after.turn_idx").cast("int").alias("turn_idx"),
         F.col("after.role").alias("role"),
@@ -349,9 +358,13 @@ def tool_loop_stream(
 def tool_loop_alerts_batch(turns: DataFrame) -> DataFrame:
     """Batch twin: identical alert set via running-sum run detection
     (the operators/trace.py formulation — one conv_id exchange), folded
-    in the same seq order the stream delivers."""
+    in the same seq order the stream delivers. Mirrors the stream's
+    insert-only gate: if the input carries an ``op`` column, op='u'
+    re-deliveries are excluded before run detection."""
     from pyspark.sql import Window
 
+    if "op" in turns.columns:
+        turns = turns.where(F.col("op").isin("c", "r")).drop("op")
     w = Window.partitionBy("conv_id").orderBy("seq")
     run_frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     is_tool = (F.col("role") == "tool") & F.col("tool").isNotNull()

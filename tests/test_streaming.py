@@ -199,3 +199,34 @@ def test_sink_n_buckets_is_table_owned(spark, tmp_path):
     snap = resumed.snapshot(spark)
     assert snap.count() == 40  # no duplicate (conv_id, turn_idx) keys
     assert snap.where("text != 'v2'").count() == 0  # every key updated
+
+    # LEGACY manifest (pre-n_buckets key, the round-2 ADVICE hole):
+    # resuming with a base inconsistent with the stored bucket column
+    # must REFUSE rather than silently strand stale keys; resuming with
+    # the matching base verifies against the data and proceeds.
+    import json
+    import os
+
+    import pytest
+
+    mpath = os.path.join(root, "_manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    del manifest["n_buckets"]
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    rows3 = [(f"c{i}", 0, "v3", 3) for i in range(40)]
+    with pytest.raises(ValueError, match="n_buckets"):
+        MergeParquetSink(root, n_buckets=256).merge_changelog(
+            env_batch(rows3), 2
+        )
+    # legit base: one-time data verification, then the merge lands and
+    # the manifest records n_buckets again
+    legit = MergeParquetSink(root, n_buckets=8)
+    legit.merge_changelog(env_batch(rows3), 2)
+    snap3 = legit.snapshot(spark)
+    assert snap3.count() == 40
+    assert snap3.where("text != 'v3'").count() == 0
+    with open(mpath) as f:
+        assert json.load(f)["n_buckets"] == 8

@@ -390,8 +390,53 @@ def test_tool_loop_stream_matches_batch(spark, tmp_path, spool):
         F.col("after.role").alias("role"),
         F.col("after.tool").alias("tool"),
         F.col("seq"),
+        F.col("op"),
     )
     want = sorted(
         map(tuple, stateful.tool_loop_alerts_batch(turns).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_tool_loop_update_does_not_double_count(spark, tmp_path):
+    """An op='u' edit of an already-counted tool turn must NOT advance
+    the run: 2 real tool turns + 1 edit < LOOP_N ⇒ zero alerts (the
+    round-2 ADVICE finding — before the insert-only gate, the edit made
+    the run length 3 and fired a false stuck-loop alert)."""
+    rows = [
+        ("c", "cv", 0, "tool", "search", 100),
+        ("c", "cv", 1, "tool", "search", 101),
+        ("u", "cv", 0, "tool", "search", 102),  # edit of turn 0
+    ]
+    env = spark.createDataFrame(
+        [
+            (
+                op,
+                {"conv_id": c, "turn_idx": t, "role": r, "tool": tool,
+                 "text": "x", "ts": None},
+                None,
+                seq,
+            )
+            for op, c, t, r, tool, seq in rows
+        ],
+        "op string, after struct<conv_id:string,turn_idx:int,role:string,"
+        "tool:string,text:string,ts:timestamp>, before struct<conv_id:string,"
+        "turn_idx:int,role:string,tool:string,text:string,ts:timestamp>,"
+        " seq long",
+    )
+    spool = str(tmp_path / "spool")
+    os.makedirs(spool)
+    pl.spool_dataframe(env, spool, "a.parquet")
+    out = stateful.tool_loop_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    assert spark.read.parquet(out).count() == 0
+    turns = env.select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.col("after.role").alias("role"),
+        F.col("after.tool").alias("tool"),
+        F.col("seq"),
+        F.col("op"),
+    )
+    assert stateful.tool_loop_alerts_batch(turns).count() == 0

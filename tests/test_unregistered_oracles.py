@@ -1,0 +1,73 @@
+"""Oracle-grade coverage for queries NOT in the 50-slot driver registry.
+
+The driver checks at most 50 queries (CORRECTNESS_r02 recorded exactly
+the first 50 of 51 registered, in registration order), so three
+same-oracle/parameter twins were deregistered in round 3 to make room
+for window_late_data and text_rolling_fp_cp. This module keeps each of
+them pinned against the SAME DuckDB oracle locally, so deregistration
+never weakens their correctness guarantee:
+
+- turn_events_pandas_salted  (pre-salted shuffle twin of turn_events_pandas)
+- ann_ivf_topk_nprobe2       (nprobe=2 parameter variant of ann_ivf_topk)
+- dedup_simhash              (signature intermediate of dedup_simhash_pairs)
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
+from flink_cdc_mysql_sink_to_mysql_spark.operators import dedup, similarity
+from tests.conftest import SF_CORRECT, register_views
+from tests.util import assert_same
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    register_views(con, SF_CORRECT)
+    return con
+
+
+CASES = [
+    (
+        "turn_events_pandas_salted",
+        eq.q_turn_events_pandas_salted,
+        lambda: eq.TURN_EVENTS_ORACLE,
+    ),
+    (
+        "ann_ivf_topk_nprobe2",
+        eq.q_ann_ivf_topk_nprobe2,
+        lambda: similarity.ivf_topk_sql("embeddings", nprobe=2),
+    ),
+    (
+        "dedup_simhash",
+        eq.q_dedup_simhash,
+        lambda: dedup.simhash_sql("documents"),
+    ),
+]
+
+
+@pytest.mark.parametrize("name,fn,oracle", CASES, ids=[c[0] for c in CASES])
+def test_unregistered_query_matches_oracle(spark, duck, name, fn, oracle):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    sdf = fn(spark, SF_CORRECT)
+    ddf = duck.execute(oracle()).df()
+    assert_same(sdf, ddf, name)
+
+
+def test_window_late_data_is_nontrivial(spark):
+    """The late-data query must actually exercise the drop path: the
+    deterministic 2 h delayed-delivery model has to produce late rows
+    (otherwise the oracle match would be vacuous)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = eq.q_window_late_data(spark, SF_CORRECT)
+    agg = out.agg(
+        F.sum("n_late").alias("late"), F.sum("n_on_time").alias("ok")
+    ).first()
+    assert agg["late"] > 0 and agg["ok"] > 0
+    # delayed rows are ~20% of the feed; drops must be a plausible share
+    assert agg["late"] < agg["ok"]
