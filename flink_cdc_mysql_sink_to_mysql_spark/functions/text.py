@@ -41,6 +41,15 @@ LANG_PRIORITY = ["en", "es", "fr", "de"]  # deterministic argmax tie-break
 BPE_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 PUNCT_REGEX = r"[^A-Za-z0-9\s]"
 
+# translate() deletion sets for the regex-free count rewrites below.
+# Java regex \s (no UNICODE_CHARACTER_CLASS) is exactly these 6 chars.
+_DIGITS = "0123456789"
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    + _DIGITS
+    + " \t\n\x0b\f\r"
+)
+
 
 def words(text: Column) -> Column:
     """Whitespace tokenization (split on runs of whitespace)."""
@@ -60,6 +69,28 @@ def _stop_hits(w: Column, lang: str) -> Column:
     return F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
 
 
+def _stop_hits_rx(t: Column, lang: str) -> Column:
+    """Token-exact stopword count as ONE codegen regex pass.
+
+    Equivalent to ``_stop_hits(words(t), lang)``: a token (maximal
+    non-``\\s`` run) hits iff its lower() equals a stopword, i.e. the
+    lowered text contains start-or-whitespace + stopword +
+    whitespace-or-end. The lookarounds are zero-width so adjacent
+    tokens ("a a a") all count. ``_stop_hits`` is an interpreted HOF
+    (CodegenFallback, re-evaluated per reference — no CSE inside
+    lambda scopes); at sf1 the lang-ID pred chain made text_profile
+    ~40 HOF array scans per row. This form is whole-stage-codegen and
+    CSE-able. Spark-side only; the DuckDB oracle keeps the list-filter
+    form, so equality is pinned by the driver hash + audit sweep.
+    """
+    import re as _re
+
+    alts = "|".join(_re.escape(s) for s in STOPWORDS[lang])
+    return F.regexp_count(
+        F.lower(t), F.lit(rf"(?:^|(?<=\s))(?:{alts})(?=\s|$)")
+    )
+
+
 def text_profile(docs: DataFrame) -> DataFrame:
     """Per-document token counts, quality score, and language ID.
 
@@ -70,9 +101,11 @@ def text_profile(docs: DataFrame) -> DataFrame:
     w = words(t)
     n_words = F.size(w).alias("n_words")
     n_chars = F.length(t)
-    sum_wlen = F.aggregate(w, F.lit(0), lambda acc, x: acc + F.length(x))
+    # = aggregate(w, 0, acc+length(x)): total non-whitespace chars.
+    # Same integer, but codegen instead of an interpreted HOF fold.
+    sum_wlen = F.length(F.regexp_replace(t, r"\s+", ""))
 
-    hits = {lang: _stop_hits(w, lang) for lang in LANG_PRIORITY}
+    hits = {lang: _stop_hits_rx(t, lang) for lang in LANG_PRIORITY}
     # deterministic argmax with LANG_PRIORITY tie-break; all-zero → 'und'.
     # Per-arm conditions are mutually exclusive (strict > vs >= encodes
     # the priority tie-break), so arm evaluation order is irrelevant —
@@ -92,7 +125,10 @@ def text_profile(docs: DataFrame) -> DataFrame:
         pred = F.when((hits[lang] > 0) & cond, F.lit(lang)).otherwise(pred)
 
     stop_hits_total = sum(hits.values(), F.lit(0))
-    punct_cnt = F.regexp_count(t, F.lit(PUNCT_REGEX))
+    # = regexp_count(t, PUNCT_REGEX): chars outside [A-Za-z0-9\s].
+    # translate() is one codegen char scan — measured ~10× the regex
+    # pass at sf1 (regexes dominate this stage's profile).
+    punct_cnt = F.length(F.translate(t, _ALNUM_WS, ""))
     nw = F.size(w)
     # NB: floor() is explicit on both engines — DuckDB CASTs double→int by
     # rounding-to-nearest while Spark truncates, so a bare cast diverges.
@@ -110,7 +146,16 @@ def text_profile(docs: DataFrame) -> DataFrame:
         "doc_id",
         n_words,
         n_chars.alias("n_chars"),
-        F.regexp_count(t, F.lit(BPE_REGEX)).alias("n_bpe_tokens"),
+        # = regexp_count(t, BPE_REGEX): every char is consumed as part
+        # of a maximal letter run, a single digit, a single punct char,
+        # or skipped (\s), so the match count decomposes exactly into
+        # letter_runs + digits + punct — one simple regex + two char
+        # scans instead of the 3-alternative regex.
+        (
+            F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+            + (F.length(t) - F.length(F.translate(t, _DIGITS, "")))
+            + punct_cnt
+        ).alias("n_bpe_tokens"),
         _permille(sum_wlen, nw).alias("avg_wlen_x1000"),
         _permille(stop_hits_total, nw).alias("stop_permille"),
         _permille(punct_cnt, n_chars).alias("punct_permille"),

@@ -510,6 +510,47 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
+EMB_DIM = 64  # the embeddings-table contract (TESTDATA.md fixed dim)
+
+
+def dot_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """``dot_fold`` for FIXED ``dim``-length arrays, unrolled to a
+    static left-nested Add chain of try_element_at products.
+
+    Bit-identical to the fold on dim-length inputs: same left-to-right
+    accumulation order, each element cast to double before the multiply.
+    The payoff is execution strategy only — F.aggregate/zip_with are
+    interpreted (CodegenFallback, re-evaluated per reference), while
+    this chain whole-stage-codegens and is CSE-able; at sf1 the brute
+    top-k dropped ~7× switching kernels. Contract: both arrays are
+    exactly ``dim`` long (shorter → null via try_element_at — matching
+    ANSI-safe list semantics; longer → the tail is IGNORED, unlike
+    dot_fold). The fixed-dim embeddings contract is pinned by the
+    driver oracle at sf0.01 and tests/test_similarity.py."""
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + (
+            F.try_element_at(a, F.lit(i)).cast("double")
+            * F.try_element_at(b, F.lit(i)).cast("double")
+        )
+    return acc
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
+    """:func:`cosine` on the codegen kernel — bit-identical values."""
+    return dot_unrolled(a, b, dim) / (
+        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    )
+
+
+def norm_unrolled(e: Column, dim: int = EMB_DIM) -> Column:
+    """sqrt(dot(e,e)) — precompute per ROW (not per pair) so pair-level
+    cosines cost one dot instead of three: cos = dot/(na*nb) is the
+    exact expression tree of :func:`cosine` with the sqrt subtrees
+    evaluated early."""
+    return F.sqrt(dot_unrolled(e, e, dim))
+
+
 DOT_SQL = (
     "list_reduce(list_transform(list_zip({a}, {b}),"
     " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)), (acc, v) -> acc + v)"
@@ -538,12 +579,18 @@ def embedding_near_dup(
         emb, max_rows, "embedding_near_dup", "embedding_near_dup_lsh"
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm_unrolled(F.col("embedding")).alias("na"),
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm_unrolled(F.col("embedding")).alias("nb"),
     )
-    cos = cosine(F.col("ea"), F.col("eb"))
+    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cos"))
@@ -615,12 +662,23 @@ def embedding_near_dup_lsh(
         )
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        norm_unrolled(F.col("embedding")).alias("na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        norm_unrolled(F.col("embedding")).alias("nb"),
+    )
+    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
+        F.col("na") * F.col("nb")
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
         .where(F.col("cos") >= threshold)
     )
 

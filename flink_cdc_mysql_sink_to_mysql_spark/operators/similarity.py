@@ -34,7 +34,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import cosine, cosine_sql
+from .dedup import (
+    cosine_sql,
+    cosine_unrolled,
+    dot_unrolled,
+    norm_unrolled,
+)
 
 LSH_BITS = 8  # bucket = sign bits of the first 8 dimensions
 Q_EVERY = 100  # query ids: every 100th vec_id ...
@@ -77,12 +82,23 @@ def cosine_topk(
     Query side is broadcast (bounded by q_cap); ranking is deterministic:
     (cos DESC, vec_id ASC).
     """
-    q = F.broadcast(_query_set(emb, every, q_cap))
-    corpus = emb.select("vec_id", "embedding")
+    q = F.broadcast(
+        _query_set(emb, every, q_cap).withColumn(
+            "q_nrm", norm_unrolled(F.col("q_emb"))
+        )
+    )
+    # norms precomputed per ROW before the pair join: each of the
+    # n·q_cap scored pairs costs one codegen dot, not three HOF folds
+    corpus = emb.select(
+        "vec_id", "embedding", norm_unrolled(F.col("embedding")).alias("c_nrm")
+    )
     scored = q.join(corpus, F.col("q_id") != F.col("vec_id")).select(
         "q_id",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        (
+            dot_unrolled(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("cos"),
     )
     return _topk(scored, k)
 
@@ -157,13 +173,17 @@ def lsh_topk(
     recall vs exact top-k is measured in tests, not asserted equal).
     """
     with_bucket = emb.select(
-        "vec_id", "embedding", lsh_bucket(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        lsh_bucket(F.col("embedding")).alias("bucket"),
+        norm_unrolled(F.col("embedding")).alias("c_nrm"),
     )
     q = F.broadcast(
         with_bucket.where(_query_pred(every, q_cap)).select(
             F.col("vec_id").alias("q_id"),
             F.col("embedding").alias("q_emb"),
             F.col("bucket").alias("q_bucket"),
+            F.col("c_nrm").alias("q_nrm"),
         )
     )
     scored = q.join(
@@ -173,7 +193,10 @@ def lsh_topk(
     ).select(
         "q_id",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        (
+            dot_unrolled(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("c_nrm"))
+        ).alias("cos"),
     )
     return _topk(scored, k)
 
@@ -321,7 +344,7 @@ def ivf_assign(
         "vec_id",
         "embedding",
         "cid",
-        cosine(F.col("embedding"), F.col("cemb")).alias("ccos"),
+        cosine_unrolled(F.col("embedding"), F.col("cemb")).alias("ccos"),
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -362,7 +385,10 @@ def ivf_topk(
         .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
         .join(cents)
         .select(
-            "q_id", "q_emb", "cid", cosine(F.col("q_emb"), F.col("cemb")).alias("ccos")
+            "q_id",
+            "q_emb",
+            "cid",
+            cosine_unrolled(F.col("q_emb"), F.col("cemb")).alias("ccos"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
@@ -375,7 +401,9 @@ def ivf_topk(
         assigned,
         ["cell"],
     ).where(F.col("q_id") != F.col("vec_id")).select(
-        "q_id", "vec_id", cosine(F.col("q_emb"), F.col("embedding")).alias("cos")
+        "q_id",
+        "vec_id",
+        cosine_unrolled(F.col("q_emb"), F.col("embedding")).alias("cos"),
     )
     return _topk(scored, k)
 
