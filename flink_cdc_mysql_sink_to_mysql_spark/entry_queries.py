@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions import text as textfn
+from .session import read_parquet_repaired
 from .operators import (
     cdc,
     cohort,
@@ -522,11 +523,18 @@ def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # split-repaired: the testdata tables are single-row-group files, so
+    # a plain read runs every narrow doc pipeline on ONE core (a row
+    # group is unsplittable); no-op on any well-laid-out (real) table.
+    return read_parquet_repaired(
+        spark, f"{sf_dir}/documents.parquet", "doc_id"
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return read_parquet_repaired(
+        spark, f"{sf_dir}/embeddings.parquet", "vec_id"
+    )
 
 
 @register("text_profile", oracle=textfn.text_profile_sql("documents"))

@@ -92,7 +92,16 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``, where
     component = min node id of the connected component. Nodes with no
     pair are absent (caller coalesces to self — see dup_clusters)."""
-    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Materialize the pair feed ONCE before symmetrizing: _symmetrize
+    # references its input twice (fwd ∪ rev) and Spark does not reuse
+    # common subplans across a union, so an expensive feed (the
+    # MinHash-LSH pipeline: shingle → K minhashes → band join → verify)
+    # would otherwise execute twice. One localCheckpoint pins it to a
+    # (narrow) in-memory edge list — pairs are the SMALL output of the
+    # feed, not the corpus.
+    edges = pairs.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).localCheckpoint(eager=True)
     cur = _symmetrize(edges).localCheckpoint(eager=True)
     prev_sum = None
     for _ in range(max_rounds):

@@ -510,45 +510,22 @@ def cosine(a: Column, b: Column) -> Column:
     )
 
 
-EMB_DIM = 64  # the embeddings-table contract (TESTDATA.md fixed dim)
-
-
-def dot_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
-    """``dot_fold`` for FIXED ``dim``-length arrays, unrolled to a
-    static left-nested Add chain of try_element_at products.
-
-    Bit-identical to the fold on dim-length inputs: same left-to-right
-    accumulation order, each element cast to double before the multiply.
-    The payoff is execution strategy only — F.aggregate/zip_with are
-    interpreted (CodegenFallback, re-evaluated per reference), while
-    this chain whole-stage-codegens and is CSE-able; at sf1 the brute
-    top-k dropped ~7× switching kernels. Contract: both arrays are
-    exactly ``dim`` long (shorter → null via try_element_at — matching
-    ANSI-safe list semantics; longer → the tail is IGNORED, unlike
-    dot_fold). The fixed-dim embeddings contract is pinned by the
-    driver oracle at sf0.01 and tests/test_similarity.py."""
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + (
-            F.try_element_at(a, F.lit(i)).cast("double")
-            * F.try_element_at(b, F.lit(i)).cast("double")
-        )
-    return acc
-
-
-def cosine_unrolled(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
-    """:func:`cosine` on the codegen kernel — bit-identical values."""
-    return dot_unrolled(a, b, dim) / (
-        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
-    )
-
-
-def norm_unrolled(e: Column, dim: int = EMB_DIM) -> Column:
+def norm_fold(e: Column) -> Column:
     """sqrt(dot(e,e)) — precompute per ROW (not per pair) so pair-level
-    cosines cost one dot instead of three: cos = dot/(na*nb) is the
+    cosines cost ONE dot instead of three: cos = dot/(na*nb) is the
     exact expression tree of :func:`cosine` with the sqrt subtrees
-    evaluated early."""
-    return F.sqrt(dot_unrolled(e, e, dim))
+    evaluated early (bit-identical doubles, same fp op order).
+
+    Kernel choice, measured (A/B at 32-way split-repaired input, noop
+    sink, steady-state run2): the zip_with/aggregate fold beats a
+    statically unrolled 64-term try_element_at Add chain at EVERY scale
+    — sf0.1 1.2s vs 3.1s, sf1 1.3s vs 5.4s for the 32-query brute
+    top-k — the giant unrolled tree is neither codegen-friendly (Janino
+    method-size splitting) nor CSE-able in practice; the earlier
+    "unrolled is ~7× faster" reading came from timing on single-row-
+    group (1-task) inputs. Norm precompute is the part that pays:
+    prenorm-fold 1.06s/1.12s/3.5s at sf0.1/1/10."""
+    return F.sqrt(dot_fold(e, e))
 
 
 DOT_SQL = (
@@ -581,14 +558,14 @@ def embedding_near_dup(
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        norm_unrolled(F.col("embedding")).alias("na"),
+        norm_fold(F.col("embedding")).alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        norm_unrolled(F.col("embedding")).alias("nb"),
+        norm_fold(F.col("embedding")).alias("nb"),
     )
-    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
+    cos = dot_fold(F.col("ea"), F.col("eb")) / (
         F.col("na") * F.col("nb")
     )
     return (
@@ -665,14 +642,14 @@ def embedding_near_dup_lsh(
     ea = emb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
-        norm_unrolled(F.col("embedding")).alias("na"),
+        norm_fold(F.col("embedding")).alias("na"),
     )
     eb = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
-        norm_unrolled(F.col("embedding")).alias("nb"),
+        norm_fold(F.col("embedding")).alias("nb"),
     )
-    cos = dot_unrolled(F.col("ea"), F.col("eb")) / (
+    cos = dot_fold(F.col("ea"), F.col("eb")) / (
         F.col("na") * F.col("nb")
     )
     return (

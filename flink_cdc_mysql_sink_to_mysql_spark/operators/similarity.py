@@ -34,12 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import (
-    cosine_sql,
-    cosine_unrolled,
-    dot_unrolled,
-    norm_unrolled,
-)
+from .dedup import cosine_sql, dot_fold, norm_fold
 
 LSH_BITS = 8  # bucket = sign bits of the first 8 dimensions
 Q_EVERY = 100  # query ids: every 100th vec_id ...
@@ -84,19 +79,19 @@ def cosine_topk(
     """
     q = F.broadcast(
         _query_set(emb, every, q_cap).withColumn(
-            "q_nrm", norm_unrolled(F.col("q_emb"))
+            "q_nrm", norm_fold(F.col("q_emb"))
         )
     )
     # norms precomputed per ROW before the pair join: each of the
     # n·q_cap scored pairs costs one codegen dot, not three HOF folds
     corpus = emb.select(
-        "vec_id", "embedding", norm_unrolled(F.col("embedding")).alias("c_nrm")
+        "vec_id", "embedding", norm_fold(F.col("embedding")).alias("c_nrm")
     )
     scored = q.join(corpus, F.col("q_id") != F.col("vec_id")).select(
         "q_id",
         "vec_id",
         (
-            dot_unrolled(F.col("q_emb"), F.col("embedding"))
+            dot_fold(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cos"),
     )
@@ -176,7 +171,7 @@ def lsh_topk(
         "vec_id",
         "embedding",
         lsh_bucket(F.col("embedding")).alias("bucket"),
-        norm_unrolled(F.col("embedding")).alias("c_nrm"),
+        norm_fold(F.col("embedding")).alias("c_nrm"),
     )
     q = F.broadcast(
         with_bucket.where(_query_pred(every, q_cap)).select(
@@ -194,7 +189,7 @@ def lsh_topk(
         "q_id",
         "vec_id",
         (
-            dot_unrolled(F.col("q_emb"), F.col("embedding"))
+            dot_fold(F.col("q_emb"), F.col("embedding"))
             / (F.col("q_nrm") * F.col("c_nrm"))
         ).alias("cos"),
     )
@@ -338,13 +333,23 @@ def ivf_assign(
     """IVF cell assignment: broadcast the tiny codebook, score corpus ×
     centroids, keep the argmax-cosine cell (ties → smallest cid)."""
     cents = F.broadcast(
-        ivf_centroids(emb, n_centroids) if centroids is None else centroids
+        (ivf_centroids(emb, n_centroids) if centroids is None else centroids)
+        .withColumn("c_nrm", norm_fold(F.col("cemb")))
     )
-    scored = emb.join(cents).select(
-        "vec_id",
-        "embedding",
-        "cid",
-        cosine_unrolled(F.col("embedding"), F.col("cemb")).alias("ccos"),
+    # norms once per vec / per centroid, not per (vec × centroid) pair —
+    # same doubles as cosine(), one fold instead of three per pair
+    scored = (
+        emb.withColumn("v_nrm", norm_fold(F.col("embedding")))
+        .join(cents)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (
+                dot_fold(F.col("embedding"), F.col("cemb"))
+                / (F.col("v_nrm") * F.col("c_nrm"))
+            ).alias("ccos"),
+        )
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
@@ -378,32 +383,45 @@ def ivf_topk(
     base_cents = (
         ivf_centroids(emb, n_centroids) if centroids is None else centroids
     )
-    cents = F.broadcast(base_cents)
+    cents = F.broadcast(
+        base_cents.withColumn("c_nrm", norm_fold(F.col("cemb")))
+    )
     assigned = ivf_assign(emb, n_centroids, centroids=base_cents)
     q_scored = (
         emb.where(_query_pred(every, q_cap))
-        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_emb"),
+            norm_fold(F.col("embedding")).alias("q_nrm"),
+        )
         .join(cents)
         .select(
             "q_id",
             "q_emb",
+            "q_nrm",
             "cid",
-            cosine_unrolled(F.col("q_emb"), F.col("cemb")).alias("ccos"),
+            (
+                dot_fold(F.col("q_emb"), F.col("cemb"))
+                / (F.col("q_nrm") * F.col("c_nrm"))
+            ).alias("ccos"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.col("ccos").desc(), F.col("cid").asc())
     q_probes = (
         q_scored.withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("q_id", "q_emb", F.col("cid").alias("cell"))
+        .select("q_id", "q_emb", "q_nrm", F.col("cid").alias("cell"))
     )
     scored = F.broadcast(q_probes).join(
-        assigned,
+        assigned.withColumn("v_nrm", norm_fold(F.col("embedding"))),
         ["cell"],
     ).where(F.col("q_id") != F.col("vec_id")).select(
         "q_id",
         "vec_id",
-        cosine_unrolled(F.col("q_emb"), F.col("embedding")).alias("cos"),
+        (
+            dot_fold(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("v_nrm"))
+        ).alias("cos"),
     )
     return _topk(scored, k)
 

@@ -48,6 +48,9 @@ from flink_cdc_mysql_sink_to_mysql_spark.operators import (  # noqa: E402
     dedup,
     examples,
 )
+from flink_cdc_mysql_sink_to_mysql_spark.session import (  # noqa: E402
+    read_parquet_repaired,
+)
 from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
     mongo_changelog,
     mysql_changelog,
@@ -55,7 +58,9 @@ from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E
 
 
 def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_parquet_repaired(
+        spark, f"{sf_dir}/documents.parquet", "doc_id"
+    )
     stats: dict = {"n_docs": docs.count()}
 
     # 1. quality gate (pure-Column profile; integer scores)

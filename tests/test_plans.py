@@ -4,8 +4,22 @@ strategy, map-side partial aggregation)."""
 
 from __future__ import annotations
 
+import pytest
+
 from flink_cdc_mysql_sink_to_mysql_spark import entry_queries
 from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(autouse=True)
+def _no_split_repair(spark):
+    """Plan tests pin the AT-SCALE plan shape. On a real (many-file)
+    table the degenerate-split repair in session.read_parquet_repaired
+    is a structural no-op, but the single-row-group testdata would
+    trigger it and add a load-time Exchange to every docs/emb query —
+    disable it here; test_split_repair_* below pin the repair itself."""
+    spark.conf.set("spark.cdcengine.splitRepair", "false")
+    yield
+    spark.conf.set("spark.cdcengine.splitRepair", "true")
 
 
 def _plan(spark, name: str) -> str:
@@ -15,6 +29,41 @@ def _plan(spark, name: str) -> str:
             "formatted"
         )
     )
+
+
+def test_split_repair_fires_on_degenerate_layout(spark):
+    """The testdata tables are one file / one row group — unsplittable,
+    so a narrow pipeline would run its whole scan stage on ONE core at
+    any cluster size. The loader must repartition on the key."""
+    from flink_cdc_mysql_sink_to_mysql_spark.session import (
+        read_parquet_repaired,
+    )
+
+    spark.conf.set("spark.cdcengine.splitRepair", "true")
+    df = read_parquet_repaired(
+        spark, f"{SF_CORRECT}/documents.parquet", "doc_id"
+    )
+    assert (
+        df.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # key-hash partitioning, NOT round-robin (which adds a local sort)
+    assert "hashpartitioning(doc_id" in plan
+    # identical rows, only the partitioning differs
+    raw = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    assert df.count() == raw.count()
+
+
+def test_split_repair_noop_when_disabled(spark):
+    from flink_cdc_mysql_sink_to_mysql_spark.session import (
+        read_parquet_repaired,
+    )
+
+    df = read_parquet_repaired(
+        spark, f"{SF_CORRECT}/documents.parquet", "doc_id"
+    )
+    assert "Exchange" not in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_text_profile_scan_prunes_columns(spark):
