@@ -532,8 +532,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # denser repair for embeddings: per-row work is ~Q_CAP 64-dim folds
     return read_parquet_repaired(
-        spark, f"{sf_dir}/embeddings.parquet", "vec_id"
+        spark, f"{sf_dir}/embeddings.parquet", "vec_id", rows_per_task=512
     )
 
 

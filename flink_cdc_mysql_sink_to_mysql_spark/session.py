@@ -64,8 +64,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
+ROWS_PER_TASK = 2048  # repair granularity floor — see docstring
+
+
 def read_parquet_repaired(
-    spark: SparkSession, path: str, *keys: str
+    spark: SparkSession, path: str, *keys: str, rows_per_task: int = ROWS_PER_TASK
 ) -> DataFrame:
     """Parquet read with degenerate-split repair.
 
@@ -78,34 +81,42 @@ def read_parquet_repaired(
     11.7s on 1 task vs ~1.5s repaired.
 
     Repair: if the layout cannot feed half the cores (few files AND few
-    row groups), hash-repartition on ``keys`` up to defaultParallelism.
-    The extra shuffle moves only this table's bytes and buys scan-stage
-    parallelism; with ≥cores files (any real 100 TB table) the check
-    short-circuits on file count alone — zero metadata reads, zero
-    shuffle — so the scale path is untouched. Keys (not round-robin)
-    keep the exchange free of the RoundRobinPartitioning local sort and
-    give downstream same-key ops a reusable partitioning.
+    row groups), hash-repartition on ``keys`` up to
+    min(defaultParallelism, rows / rows_per_task) — row-count-aware so
+    a tiny table is not shattered into 32 near-empty tasks (measured:
+    a blanket repartition(32) added 0.3–0.7 s of exchange + task
+    overhead to every CHEAP sf0.1 query while the ~2k-row tables fit in
+    a couple of tasks anyway). The extra shuffle moves only this
+    table's bytes and buys scan-stage parallelism; with ≥cores files
+    (any real 100 TB table) the check short-circuits on file count
+    alone — zero metadata reads, zero shuffle — so the scale path is
+    untouched. Keys (not round-robin) keep the exchange free of the
+    RoundRobinPartitioning local sort and give downstream same-key ops
+    a reusable partitioning.
     """
     df = spark.read.parquet(path)
     # escape hatch (used by plan tests, which pin the AT-SCALE plan
     # shape — where this repair is a structural no-op)
     if spark.conf.get("spark.cdcengine.splitRepair", "true") != "true":
         return df
-    target = spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
     files = (
         [path]
         if os.path.isfile(path)
         else glob.glob(os.path.join(path, "*.parquet"))
     )
-    if len(files) * 2 >= target:
+    if len(files) * 2 >= cores:
         return df
     try:
         import pyarrow.parquet as pq
 
-        groups = sum(pq.ParquetFile(f).metadata.num_row_groups for f in files)
+        metas = [pq.ParquetFile(f).metadata for f in files]
+        groups = sum(m.num_row_groups for m in metas)
+        rows = sum(m.num_rows for m in metas)
     except Exception:  # non-local FS / unreadable footer: leave as-is
         return df
-    if groups * 2 >= target:
+    target = min(cores, max(1, rows // rows_per_task))
+    if groups * 2 >= target or target <= 1:
         return df
     from pyspark.sql import functions as F
 

@@ -40,13 +40,13 @@ def test_split_repair_fires_on_degenerate_layout(spark):
     )
 
     spark.conf.set("spark.cdcengine.splitRepair", "true")
+    # sf0.01 documents = 500 rows; rows_per_task=100 → 5-way target
+    # (row-count-aware: a tiny table must NOT shatter into `cores`
+    # near-empty tasks — the production default is 2048 rows/task)
     df = read_parquet_repaired(
-        spark, f"{SF_CORRECT}/documents.parquet", "doc_id"
+        spark, f"{SF_CORRECT}/documents.parquet", "doc_id", rows_per_task=100
     )
-    assert (
-        df.rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
-    )
+    assert df.rdd.getNumPartitions() == 5
     plan = df._jdf.queryExecution().executedPlan().toString()
     # key-hash partitioning, NOT round-robin (which adds a local sort)
     assert "hashpartitioning(doc_id" in plan
