@@ -93,6 +93,19 @@ def read_parquet_repaired(
     untouched. Keys (not round-robin) keep the exchange free of the
     RoundRobinPartitioning local sort and give downstream same-key ops
     a reusable partitioning.
+
+    The repaired frame is persist()ed (MEMORY_AND_DISK): without it,
+    Catalyst pushes query filters BELOW the repartition — a filter on
+    an expensive derived expression (e.g. the text-profile quality
+    score, 4 regex counts) then executes in the 1-task scan stage and
+    the repair buys nothing (measured: text_quality at sf1 took 15.5 s
+    repaired-but-unpersisted vs 11.7 s unrepaired vs ~2 s persisted).
+    An InMemoryRelation is a pushdown barrier but still serves column
+    pruning from its columnar batches, and Spark's CacheManager dedups
+    by logical plan, so all queries of a session share ONE
+    materialization per (path, target, keys). Memory is bounded by the
+    repaired table itself (this branch only fires on small/degenerate
+    local tables; DISK spill backs the rest).
     """
     df = spark.read.parquet(path)
     # escape hatch (used by plan tests, which pin the AT-SCALE plan
@@ -119,6 +132,8 @@ def read_parquet_repaired(
     if groups * 2 >= target or target <= 1:
         return df
     from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
 
     cols = [F.col(k) for k in keys]
-    return df.repartition(target, *cols) if cols else df.repartition(target)
+    out = df.repartition(target, *cols) if cols else df.repartition(target)
+    return out.persist(StorageLevel.MEMORY_AND_DISK)
