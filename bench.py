@@ -55,6 +55,16 @@ HEADLINE = [
 ]
 
 
+# Round-3 additions (post-BENCH_r02 registry), timed separately
+# (`--r3`) so --extended stays apples-to-apples with round 2.
+ROUND3 = [
+    "window_late_data",
+    "text_rolling_fp_cp",
+    "multimodal_decode_fake",
+    "multimodal_frame_sample",
+]
+
+
 # Round-2 additions, timed separately (`--extended`) so the headline
 # total stays apples-to-apples with the round-1 driver baseline.
 EXTENDED = [
@@ -173,6 +183,62 @@ def run_merge_amplification(cpus: int) -> dict:
     return out
 
 
+def run_streaming_replay(
+    cpus: int = 8,
+    n_turns: int = 2_240_000,
+    n_chunks: int = 8,
+    files_per_trigger: int = 2,
+) -> dict:
+    """End-to-end exactly-once streaming replay throughput.
+
+    Synth changelog (same op mix as the scaling job) → seq-ordered
+    parquet spool (the in-sandbox binlog) → file stream at
+    ``files_per_trigger`` → foreachBatch MERGE sink with checkpoint.
+    Timed section is the STREAM only (spooling excluded); reported
+    envelopes/s is the realistic-batch-size number BENCH/BASELINE.md
+    quotes (per-microbatch MERGE commit cost amortizes with batch
+    size — the reference's 1000-row/200ms JDBC flush analog).
+    """
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+    spark = get_spark(app_name="bench-replay", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="replay-bench-")
+    try:
+        env = synth_envelopes(spark, n_turns)
+        n_env = env.count()
+        spool = os.path.join(root, "spool")
+        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+        sink = MergeParquetSink(os.path.join(root, "table"))
+        t0 = time.perf_counter()
+        pl.materialize_stream(
+            spark,
+            spool,
+            sink,
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=files_per_trigger,
+        )
+        wall = time.perf_counter() - t0
+        rows = sink.snapshot(spark).count()
+        return {
+            "metric": "streaming_replay_envelopes_per_sec",
+            "value": round(n_env / wall),
+            "unit": "envelopes/sec",
+            "envelopes": n_env,
+            "wall_s": round(wall, 2),
+            "final_rows": rows,
+            "microbatches": n_chunks // files_per_trigger,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -181,6 +247,26 @@ def main() -> None:
 
     if "--merge-amplification" in sys.argv:
         print(json.dumps(run_merge_amplification(cpus)))
+        return
+
+    if "--streaming-replay" in sys.argv:
+        print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
+        return
+
+    if "--r3" in sys.argv:
+        times = run(sf_dir, cpus, names_list=ROUND3)
+        print(
+            json.dumps(
+                {
+                    "metric": "round3_query_wall_seconds",
+                    "value": round(sum(times.values()), 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": sf,
+                    "cpus": cpus,
+                }
+            )
+        )
         return
 
     if "--extended" in sys.argv:
