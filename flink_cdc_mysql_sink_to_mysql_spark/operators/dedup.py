@@ -340,10 +340,24 @@ def minhash_lsh_pairs(
     sh = shingle_sets_from_rows(shr)
     if materialize:
         sh = sh.localCheckpoint(eager=True)
+    # shuffle_hash, NOT broadcast, on the verify joins: the candidate
+    # side LOOKS tiny to the planner (id pairs), but after the first
+    # join it carries the sh_a shingle ARRAYS — at sf10 a ~1 GB
+    # in-memory relation that a mis-sized auto-broadcast builds on the
+    # driver and OOMs (observed: "Not enough memory to build and
+    # broadcast", 134M-word allocation). Shuffling on the doc-id keys
+    # keeps both verify joins executor-side with bounded build memory
+    # and lets AQE split skewed candidates; same rows, same jaccards.
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        cand.join(
+            sh.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
+            "doc_a",
+        )
         .withColumnRenamed("sh", "sh_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
+            "doc_b",
+        )
         .withColumnRenamed("sh", "sh_b")
         .select(
             "doc_a",

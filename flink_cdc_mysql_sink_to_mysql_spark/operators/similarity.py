@@ -344,6 +344,7 @@ def ivf_assign(
         .select(
             "vec_id",
             "embedding",
+            "v_nrm",
             "cid",
             (
                 dot_fold(F.col("embedding"), F.col("cemb"))
@@ -354,10 +355,12 @@ def ivf_assign(
     w = Window.partitionBy("vec_id").orderBy(
         F.col("ccos").desc(), F.col("cid").asc()
     )
+    # v_nrm rides along so ivf_topk's probe join doesn't re-fold the
+    # corpus norms (norms once per vec, full stop)
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("cell"))
+        .select("vec_id", "embedding", "v_nrm", F.col("cid").alias("cell"))
     )
 
 
@@ -413,7 +416,7 @@ def ivf_topk(
         .select("q_id", "q_emb", "q_nrm", F.col("cid").alias("cell"))
     )
     scored = F.broadcast(q_probes).join(
-        assigned.withColumn("v_nrm", norm_fold(F.col("embedding"))),
+        assigned,
         ["cell"],
     ).where(F.col("q_id") != F.col("vec_id")).select(
         "q_id",

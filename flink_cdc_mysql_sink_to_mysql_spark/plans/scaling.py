@@ -203,15 +203,20 @@ def measure_scaling(
         his.append(_run_in_subprocess(cpus_hi, n_turns))
 
     def med(runs):
-        thr = sorted(r["turns_per_sec"] for r in runs)
-        return thr[len(thr) // 2]
+        # low-median: always an ACTUAL run record (throughput, wall and
+        # n_turns stay mutually consistent in the published output);
+        # for odd reps this IS the median, for even reps the
+        # conservative (lower) middle run
+        return sorted(runs, key=lambda r: r["turns_per_sec"])[
+            (len(runs) - 1) // 2
+        ]
 
-    lo_thr, hi_thr = med(los), med(his)
-    ratio = hi_thr / lo_thr
+    lo, hi = med(los), med(his)
+    ratio = hi["turns_per_sec"] / lo["turns_per_sec"]
     eff = ratio / (cpus_hi / cpus_lo)
     out = {
-        "lo": los[0] | {"turns_per_sec": lo_thr},
-        "hi": his[0] | {"turns_per_sec": hi_thr},
+        "lo": lo,
+        "hi": hi,
         "speedup": round(ratio, 3),
         "scaling_efficiency": round(eff, 3),
         "reps": reps,

@@ -13,15 +13,31 @@ superlinear in K instead of a clean K× scale point):
 
 - events   : event_id += k*100_000, user_id += k*1_500 (new
              conversations); props gains a deterministic ``"r": k``
-             JSON field for k>0 so per-turn text differs per replica.
-- documents: doc_id += k*5_000; every whitespace token gains suffix
-             ``r{k}`` for k>0 — word-level bijection, so *within* a
-             replica the shingle/Jaccard structure (incl. planted
-             near-dup pairs) is preserved exactly, while cross-replica
-             shingle overlap is zero. n_chars recomputed.
-- embeddings: vec_id += k*2_000; vector rotated by k%64 dims and
-             negated when (k//64)%2=1 — norm-preserving, within-replica
-             cosine structure exact, cross-replica cosines incoherent.
+             JSON field for k>0 (final-brace regex replace, safe for
+             nested JSON) so per-turn text differs per replica.
+- documents: doc_id += k*5_000; every NON-STOPWORD whitespace token
+             gains suffix ``r{k}`` for k>0 — a word-level injection
+             (suffixed words carry a digit, stopwords never do), so
+             *within* a replica the shingle/Jaccard structure (incl.
+             planted near-dup pairs) is preserved exactly, stopword
+             counts / lang-ID / n_words are IDENTICAL to replica 0
+             (quality-gate selectivity comparable across SFs), and
+             cross-replica shingle overlap is limited to all-stopword
+             n-grams (far below any near-dup threshold). n_chars
+             recomputed.
+- embeddings: vec_id += k*2_000; per-dimension deterministic ±1 sign
+             pattern keyed by k (integer-hash parity, no RNG), plus a
+             k%64 roll — a signed permutation, i.e. orthogonal and
+             norm-preserving; within-replica cosines are BIT-EXACT
+             (both vectors of a pair see the same signs:
+             dot(s∘a, s∘b) = dot(a,b)). Cross-replica coherence sits
+             AT the isotropic floor: replica-vs-replica pairs ≥0.45
+             measure 326–369 per 4M — the same 341/4M rate the base
+             corpus shows against truly random unit vectors at dim 64
+             (verified), so no orthogonal decorrelation can do better;
+             cross-replica near-dup counts grow at exactly the
+             background rate a real corpus of independent vectors
+             would show, not as replica artifacts.
 
 No RNG, no wall clock — same bytes on every run. Remaining TPC-H dims
 are copied as-is (nothing in bench reads them, but the audit tooling
@@ -35,12 +51,25 @@ Writes  {outroot}/sf1/*.parquet and {outroot}/sf10/*.parquet
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import sys
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+from flink_cdc_mysql_sink_to_mysql_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
+)
+
+# the union stopword list: these tokens keep their surface form in every
+# replica so per-doc stopword counts (and hence lang-ID + quality-gate
+# selectivity) are identical across replicas
+_STOP_UNION = frozenset(w for ws in STOPWORDS.values() for w in ws)
 
 SRC = "/root/testdata/sf0.1"
 COPY_TABLES = [
@@ -60,9 +89,11 @@ def _events_replica(t: pa.Table, k: int) -> pa.Table:
     cols["event_id"] = pc.add(t["event_id"], pa.scalar(k * EVENT_OFF, pa.int64()))
     cols["user_id"] = pc.add(t["user_id"], pa.scalar(k * USER_OFF, pa.int64()))
     if k > 0:
-        # '{"k": 76}' -> '{"k": 76, "r": 3}' — per-replica turn text
-        cols["props"] = pc.binary_join_element_wise(
-            pc.utf8_rtrim(t["props"], "}"), pa.scalar(f', "r": {k}}}'), ""
+        # '{"k": 76}' -> '{"k": 76, "r": 3}' — per-replica turn text.
+        # Replace only the FINAL closing brace (anchored regex), so a
+        # nested-JSON props value ending in '}}' stays valid.
+        cols["props"] = pc.replace_substring_regex(
+            t["props"], pattern=r"\}$", replacement=f', "r": {k}}}'
         )
     return pa.table(cols)
 
@@ -73,9 +104,22 @@ def _documents_replica(t: pa.Table, k: int) -> pa.Table:
     cols = {name: t[name] for name in t.column_names}
     cols["doc_id"] = pc.add(t["doc_id"], pa.scalar(k * DOC_OFF, pa.int64()))
     if k > 0:
-        txt = t["text"].to_pandas().str.replace(
-            r"(\S+)", rf"\g<1>r{k}", regex=True
-        )
+        token_rx = re.compile(r"\S+")
+        suffix = f"r{k}"
+
+        def _suffix_tokens(s: str) -> str:
+            # stopwords keep their surface form (identical per-doc
+            # stopword counts / lang-ID across replicas); every other
+            # token gains the digit-bearing suffix — injective within a
+            # replica (stopwords are alphabetic, suffixed words are not)
+            return token_rx.sub(
+                lambda m: m.group(0)
+                if m.group(0).lower() in _STOP_UNION
+                else m.group(0) + suffix,
+                s,
+            )
+
+        txt = t["text"].to_pandas().map(_suffix_tokens)
         cols["text"] = pa.array(txt, pa.string())
         cols["n_chars"] = pa.array(txt.str.len().astype("int64"), pa.int64())
     return pa.table(cols)
@@ -87,10 +131,24 @@ def _embeddings_replica(t: pa.Table, k: int) -> pa.Table:
     cols = {name: t[name] for name in t.column_names}
     cols["vec_id"] = pc.add(t["vec_id"], pa.scalar(k * VEC_OFF, pa.int64()))
     if k > 0:
-        emb = np.stack(t["embedding"].to_pandas().to_numpy())  # (n, 64)
-        emb = np.roll(emb, k % emb.shape[1], axis=1)
-        if (k // emb.shape[1]) % 2 == 1:
-            emb = -emb
+        emb = np.stack(t["embedding"].to_pandas().to_numpy())  # (n, dim)
+        dim = emb.shape[1]
+        emb = np.roll(emb, k % dim, axis=1)
+        # per-dim ±1 signs from deterministic integer hashing (Knuth
+        # multiplicative + xorshift parity — no RNG, stable across
+        # runs): within-replica pair cosines are bit-exact (both
+        # vectors see the same signs), cross-replica dots become
+        # half-cancelling signed sums. A bare roll preserved enough
+        # structure to leak ~340 cross-replica pairs above cos 0.45
+        # per replica pair.
+        h = (np.arange(dim, dtype=np.uint64) + np.uint64(k)) * np.uint64(
+            2654435761
+        )
+        h ^= h >> np.uint64(13)
+        h *= np.uint64(0x9E3779B97F4A7C15)
+        h ^= h >> np.uint64(7)
+        signs = ((h >> np.uint64(1)) & np.uint64(1)).astype(np.float32) * 2 - 1
+        emb = emb * signs[None, :]
         cols["embedding"] = pa.array(list(emb), pa.list_(pa.float32()))
     return pa.table(cols)
 
@@ -111,9 +169,16 @@ def upscale(outdir: str, factor: int) -> None:
     for name, fn in _REPLICATORS.items():
         src = pq.read_table(f"{SRC}/{name}.parquet")
         out = pa.concat_tables([fn(src, k) for k in range(factor)])
-        # many row groups => splittable scan for local[32]
+        # genuinely splittable scans: ≥32 row groups per file even for
+        # the smallest upscaled table (sf1 embeddings, 20k rows) — the
+        # earlier 131_072 left sf1 documents/embeddings as ONE row
+        # group, the exact degenerate layout the engine's split repair
+        # exists to diagnose, and skewed any reader not routed through
+        # read_parquet_repaired (DuckDB oracle sweeps, ad-hoc reads).
         pq.write_table(
-            out, f"{outdir}/{name}.parquet", row_group_size=131_072
+            out,
+            f"{outdir}/{name}.parquet",
+            row_group_size=max(512, out.num_rows // 64),
         )
         print(f"{outdir}/{name}.parquet rows={out.num_rows}")
 
