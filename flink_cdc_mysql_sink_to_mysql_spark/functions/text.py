@@ -64,48 +64,74 @@ def _permille(num: Column, den: Column) -> Column:
     return F.floor(num.cast("long") * 1000 / den).cast("int")
 
 
-def _stop_hits(w: Column, lang: str) -> Column:
-    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
-    return F.size(F.filter(w, lambda x: F.array_contains(sw, F.lower(x))))
-
-
-def _stop_hits_rx(t: Column, lang: str) -> Column:
-    """Token-exact stopword count as ONE codegen regex pass.
-
-    Equivalent to ``_stop_hits(words(t), lang)``: a token (maximal
-    non-``\\s`` run) hits iff its lower() equals a stopword, i.e. the
-    lowered text contains start-or-whitespace + stopword +
-    whitespace-or-end. The lookarounds are zero-width so adjacent
-    tokens ("a a a") all count. ``_stop_hits`` is an interpreted HOF
-    (CodegenFallback, re-evaluated per reference — no CSE inside
-    lambda scopes); at sf1 the lang-ID pred chain made text_profile
-    ~40 HOF array scans per row. This form is whole-stage-codegen and
-    CSE-able. Spark-side only; the DuckDB oracle keeps the list-filter
-    form, so equality is pinned by the driver hash + audit sweep.
-    """
-    import re as _re
-
-    alts = "|".join(_re.escape(s) for s in STOPWORDS[lang])
-    return F.regexp_count(
-        F.lower(t), F.lit(rf"(?:^|(?<=\s))(?:{alts})(?=\s|$)")
-    )
-
-
 def text_profile(docs: DataFrame) -> DataFrame:
     """Per-document token counts, quality score, and language ID.
 
-    One narrow projection over (doc_id, text): at 10^12 docs this is a
-    pure map stage — no shuffle, scan-pruned to two columns.
+    Shape: one narrow projection over (doc_id, text) for the char-level
+    counts, plus an explode → InSet → hash-aggregate pass for the
+    per-language stopword hits, joined back on doc_id (two source
+    scans; the join is id-keyed and AQE-sized).
+
+    Why an aggregate (and not a per-row form) for stopword hits — both
+    per-row forms measured WORSE at scale:
+    - HOF filter over the words array: interpreted CodegenFallback,
+      re-evaluated per reference in the lang-argmax chain (no CSE
+      inside lambda scopes) — ~40 array scans per row.
+    - alternation regex (`regexp_count('(?:^|(?<=\\s))(?:the|a|…)')`):
+      codegen, but Java regex alternation+lookaround backtracks per
+      char position, and a consumer FILTER on quality_score duplicates
+      every regex (filter + project are separate operators — codegen
+      CSE is per-operator): measured 7–10 s at sf1 / 12.5 s at sf10
+      for text_quality vs 5.2 / 6.8 s for this form.
+    Each token hashes once against an InSet (O(1)/word), partial
+    aggregation collapses word rows map-side (shuffle = 4 ints/doc),
+    and — because the hits sit behind an Aggregate — a downstream
+    filter on quality can never be pushed back into the expensive scan
+    side. Two measured dead ends, for the record: a single-pass
+    explode-with-metrics aggregate (CollapseProject hoists the per-doc
+    char metrics ABOVE the generator, re-evaluating every regex per
+    WORD row — 117 s at sf1), and the alternation regex above. At
+    10^12 docs: one word-partial shuffle + one id join, or zero
+    shuffles if the corpus is bucketed by doc_id.
     """
     t = F.col("text")
     w = words(t)
-    n_words = F.size(w).alias("n_words")
-    n_chars = F.length(t)
-    # = aggregate(w, 0, acc+length(x)): total non-whitespace chars.
-    # Same integer, but codegen instead of an interpreted HOF fold.
-    sum_wlen = F.length(F.regexp_replace(t, r"\s+", ""))
+    punct_cnt = F.length(F.translate(t, _ALNUM_WS, ""))
+    base = docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.length(t).alias("n_chars"),
+        # = regexp_count(t, BPE_REGEX): every char is consumed as part
+        # of a maximal letter run, a single digit, a single punct char,
+        # or skipped (\s), so the match count decomposes exactly into
+        # letter_runs + digits + punct — one simple regex + two
+        # translate() char scans instead of the 3-alternative regex.
+        (
+            F.regexp_count(t, F.lit(r"[A-Za-z]+"))
+            + (F.length(t) - F.length(F.translate(t, _DIGITS, "")))
+            + punct_cnt
+        ).alias("n_bpe_tokens"),
+        # = aggregate(w, 0, acc+length(x)): total non-whitespace chars.
+        F.length(F.regexp_replace(t, r"\s+", "")).alias("_sum_wlen"),
+        punct_cnt.alias("_punct_cnt"),
+    )
+    wl = docs.select("doc_id", F.explode(w).alias("wd"))
+    hits_agg = wl.groupBy("doc_id").agg(
+        *[
+            F.count_if(F.lower(F.col("wd")).isin(*STOPWORDS[lang]))
+            .cast("int")
+            .alias(f"_sh_{lang}")
+            for lang in LANG_PRIORITY
+        ]
+    )
+    agg = base.join(hits_agg, "doc_id", "left")
+    # every doc has ≥1 exploded row (split of "" is [""]), so the left
+    # join always matches; coalesce guards the contract anyway
+    hits = {
+        lang: F.coalesce(F.col(f"_sh_{lang}"), F.lit(0))
+        for lang in LANG_PRIORITY
+    }
 
-    hits = {lang: _stop_hits_rx(t, lang) for lang in LANG_PRIORITY}
     # deterministic argmax with LANG_PRIORITY tie-break; all-zero → 'und'.
     # Per-arm conditions are mutually exclusive (strict > vs >= encodes
     # the priority tie-break), so arm evaluation order is irrelevant —
@@ -125,11 +151,9 @@ def text_profile(docs: DataFrame) -> DataFrame:
         pred = F.when((hits[lang] > 0) & cond, F.lit(lang)).otherwise(pred)
 
     stop_hits_total = sum(hits.values(), F.lit(0))
-    # = regexp_count(t, PUNCT_REGEX): chars outside [A-Za-z0-9\s].
-    # translate() is one codegen char scan — measured ~10× the regex
-    # pass at sf1 (regexes dominate this stage's profile).
-    punct_cnt = F.length(F.translate(t, _ALNUM_WS, ""))
-    nw = F.size(w)
+    nw = F.col("n_words")
+    n_chars = F.col("n_chars")
+    punct = F.col("_punct_cnt")
     # NB: floor() is explicit on both engines — DuckDB CASTs double→int by
     # rounding-to-nearest while Spark truncates, so a bare cast diverges.
     stop_pct = F.least(
@@ -137,28 +161,19 @@ def text_profile(docs: DataFrame) -> DataFrame:
         F.lit(30),
     )
     punct_pct = F.least(
-        F.floor(_permille(punct_cnt, n_chars) / F.lit(10)).cast("int"),
+        F.floor(_permille(punct, n_chars) / F.lit(10)).cast("int"),
         F.lit(30),
     )
     quality = F.least(nw, F.lit(40)) + stop_pct + (F.lit(30) - punct_pct)
 
-    return docs.select(
+    return agg.select(
         "doc_id",
-        n_words,
-        n_chars.alias("n_chars"),
-        # = regexp_count(t, BPE_REGEX): every char is consumed as part
-        # of a maximal letter run, a single digit, a single punct char,
-        # or skipped (\s), so the match count decomposes exactly into
-        # letter_runs + digits + punct — one simple regex + two char
-        # scans instead of the 3-alternative regex.
-        (
-            F.regexp_count(t, F.lit(r"[A-Za-z]+"))
-            + (F.length(t) - F.length(F.translate(t, _DIGITS, "")))
-            + punct_cnt
-        ).alias("n_bpe_tokens"),
-        _permille(sum_wlen, nw).alias("avg_wlen_x1000"),
+        "n_words",
+        "n_chars",
+        "n_bpe_tokens",
+        _permille(F.col("_sum_wlen"), nw).alias("avg_wlen_x1000"),
         _permille(stop_hits_total, nw).alias("stop_permille"),
-        _permille(punct_cnt, n_chars).alias("punct_permille"),
+        _permille(punct, n_chars).alias("punct_permille"),
         quality.cast("int").alias("quality_score"),
         pred.alias("lang_pred"),
     )
