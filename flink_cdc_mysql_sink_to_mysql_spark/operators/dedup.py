@@ -270,17 +270,16 @@ def minhash_lsh_pairs(
     """Near-dup pairs via LSH banding + exact-Jaccard verification.
 
     Plan shape (the 100 TB story):
-      0. tokenize ONCE: the exploded shingle relation, the band table
-         and the shingle sets are each materialized (localCheckpoint)
-         so the self-join and the two verify joins reuse them — without
-         this the source is scanned 4× and the signature agg runs twice
-         (self-joins get no subplan reuse; measured 4 scans / 0
-         ReusedExchange at sf0.1). Checkpointing sigs/bands is the
-         standard MinHash-pipeline "signature table" stage; the shingle
-         sets are corpus-sized, so at cluster scale this trades one
-         extra scan for local spill — ``materialize=False`` restores
-         the recompute-from-source plan if scans are cheaper than
-         storage.
+      0. tokenize ONCE: the exploded shingle relation and its distinct
+         form are persisted DISK_ONLY and the (tiny) band table
+         localCheckpointed, so the self-join and the verify joins reuse
+         them — without this the source is scanned 4× and the signature
+         agg runs twice (self-joins get no subplan reuse; measured 4
+         scans / 0 ReusedExchange at sf0.1). Persisting the signature /
+         shingle relations is the standard MinHash-pipeline stage;
+         DISK_ONLY because these are corpus-sized — ``materialize=
+         False`` restores the recompute-from-source plan if scans are
+         cheaper than storage.
       1. explode shingles, one md5 each, K derived hashes, map-side
          partial min-agg → (doc_id, K minhashes)
       2. explode to BANDS rows/doc; band_key = md5(minhash row concat)
@@ -293,7 +292,12 @@ def minhash_lsh_pairs(
     rows = NUM_HASHES // BANDS
     shr = shingle_rows(docs, n)
     if materialize:
-        shr = shr.localCheckpoint(eager=True)
+        # serialized-on-disk reuse (see sdist below for why not a
+        # MEMORY_AND_DISK localCheckpoint): one row per shingle
+        # OCCURRENCE — the largest relation in the pipeline
+        from pyspark.storagelevel import StorageLevel
+
+        shr = shr.persist(StorageLevel.DISK_ONLY)
     sigs = _minhash_from_shingle_rows(shr)
     bands = sigs.select(
         "doc_id",
@@ -337,33 +341,58 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = shingle_sets_from_rows(shr)
+    # Exact-Jaccard verify WITHOUT ever moving a shingle ARRAY: count
+    # shared shingles through the exploded relation itself.
+    #   inter(a,b) = |{s : (a,s) ∧ (b,s)}|   via two id-keyed joins
+    #   union(a,b) = |A| + |B| − inter        via per-doc distinct counts
+    # An earlier array form (collect_set per doc, array_intersect per
+    # pair) was a scale trap: the candidate side LOOKS tiny to the
+    # planner (id pairs) but carries the shingle arrays after its first
+    # join — at sf10 a ~1 GB mis-sized auto-broadcast that OOMed the
+    # driver build. Here every join key is a narrow (id) or (id, s)
+    # column, every payload an int — nothing for a misestimate to blow
+    # up, AQE splits skewed candidates, and the per-pair work is a
+    # count instead of two O(|A|+|B|) array scans. Values bit-identical:
+    # same integer inter/union, same double division.
+    sdist = shr.distinct()
     if materialize:
-        sh = sh.localCheckpoint(eager=True)
-    # shuffle_hash, NOT broadcast, on the verify joins: the candidate
-    # side LOOKS tiny to the planner (id pairs), but after the first
-    # join it carries the sh_a shingle ARRAYS — at sf10 a ~1 GB
-    # in-memory relation that a mis-sized auto-broadcast builds on the
-    # driver and OOMs (observed: "Not enough memory to build and
-    # broadcast", 134M-word allocation). Shuffling on the doc-id keys
-    # keeps both verify joins executor-side with bounded build memory
-    # and lets AQE split skewed candidates; same rows, same jaccards.
-    verified = (
-        cand.join(
-            sh.withColumnRenamed("doc_id", "doc_a").hint("shuffle_hash"),
-            "doc_a",
-        )
-        .withColumnRenamed("sh", "sh_a")
+        # DISK_ONLY, not localCheckpoint(MEMORY_AND_DISK): this relation
+        # is corpus-sized (one row per distinct (doc, shingle)) and is
+        # read 3× below; holding it as deserialized heap objects while
+        # 32 tasks also build join/agg state OOMed an 8 GiB local[32]
+        # heap at sf10. Serialized-on-disk keeps the reuse without the
+        # heap spike (an executor-local spill, exactly what a cluster
+        # would do).
+        from pyspark.storagelevel import StorageLevel
+
+        sdist = sdist.persist(StorageLevel.DISK_ONLY)
+    sizes = sdist.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
+    shared = (
+        cand.join(sdist.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(
-            sh.withColumnRenamed("doc_id", "doc_b").hint("shuffle_hash"),
-            "doc_b",
+            sdist.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "s"],
         )
-        .withColumnRenamed("sh", "sh_b")
-        .select(
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")).cast("double")
+    )
+    verified = (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a")
+            ),
             "doc_a",
-            "doc_b",
-            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
         )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
     return verified.select("doc_a", "doc_b", "jaccard")

@@ -55,7 +55,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.compression.codec", "zstd")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # heap scales with local concurrency: 32 tasks sharing 8 GiB
+        # (~250 MB/task) OOMed the sf10 dedup stages, while 16 GiB
+        # completes reliably; 64 GiB measured WORSE (page-zeroing/GC).
+        # 8 GiB stays the default for the ≤8-core test/scaling shapes.
+        .config(
+            "spark.driver.memory",
+            os.environ.get(
+                "SPARK_DRIVER_MEMORY", "16g" if cpus >= 16 else "8g"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.schemaInference", "false")
     )
