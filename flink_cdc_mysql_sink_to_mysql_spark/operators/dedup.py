@@ -475,11 +475,113 @@ def simhash_sql(rel: str) -> str:
 
 
 def simhash_pairs(docs: DataFrame) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ 3 via byte-banded join.
+    """Near-dup pairs with Hamming(simhash) ≤ 3 — half-enumeration plan.
+
+    Candidate generation à la Manku/Jain/Sarma (WWW'07 "Detecting
+    Near-Duplicates for Web Crawling"): split the signature into 2
+    disjoint 16-bit halves. Hamming ≤ 3 over 2 halves ⇒ (pigeonhole)
+    some half carries ≤ 1 differing bit ⇒ that half of A equals that
+    half of B either exactly or after flipping exactly one of its 16
+    bits. So: probe side = each doc's 2 halves × (exact + 16 one-bit
+    flips) = 34 narrow rows/doc; build side = the 2 exact halves; one
+    equi-join on (half, value) finds EVERY qualifying pair — same rows
+    as the O(n²) oracle scan, verified by the same exact Hamming filter.
+
+    Why this beats the previous 8-bit byte-banded self-join (kept below
+    as :func:`simhash_pairs_banded` for the A/B): blocking-key entropy.
+    With n docs, an 8-bit band packs ~n/256 docs per bucket and the
+    join ENUMERATES ~4·n²/256 candidate rows (measured: the dominant
+    cost at 500k docs — ~3.9G enumerated rows, 35.6 s); 16-bit blocks
+    cut bucket occupancy to ~n/65536, i.e. ~34·n²/65536 enumerated rows
+    — ~30× fewer at any n — for a 17× larger (but still narrow: three
+    ints + a long) probe side that partial-aggregates nothing and
+    carries no arrays. Same output, same oracle; pure plan change.
+    """
+    return _pairs_from_signatures(simhash(docs))
+
+
+def _pairs_from_signatures(sh: DataFrame) -> DataFrame:
+    """Half-enumeration Hamming≤3 pair join over any (doc_id, simhash)
+    relation — split from :func:`simhash_pairs` so the pigeonhole claim
+    is testable on adversarial synthetic signatures (bit spreads 3+0,
+    2+1, half-boundary bits) independent of the signature function."""
+    half_bits = SIMHASH_BITS // 2  # 16
+    mask = (1 << half_bits) - 1
+
+    def _half(col: Column, i: int) -> Column:
+        return F.shiftright(col, half_bits * i).bitwiseAND(F.lit(mask))
+
+    # build side: (doc_id, simhash, half, value) — 2 rows/doc
+    exact = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("half"),
+                        _half(F.col("simhash"), i).alias("value"),
+                    )
+                    for i in range(2)
+                ]
+            )
+        ).alias("hk"),
+    ).select("doc_id", "simhash", "hk.half", "hk.value")
+
+    # probe side: exact half + all 16 one-bit flips — 34 rows/doc
+    variants = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("half"),
+                        (
+                            _half(F.col("simhash"), i)
+                            if f < 0
+                            else _half(F.col("simhash"), i).bitwiseXOR(
+                                F.lit(1 << f)
+                            )
+                        ).alias("value"),
+                    )
+                    for i in range(2)
+                    for f in range(-1, half_bits)
+                ]
+            )
+        ).alias("hk"),
+    ).select("doc_id", "simhash", "hk.half", "hk.value")
+
+    a = variants.alias("a")
+    b = exact.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.half") == F.col("b.half"))
+            & (F.col("a.value") == F.col("b.value"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+def simhash_pairs_banded(docs: DataFrame) -> DataFrame:
+    """Hamming(simhash) ≤ 3 pairs via the 8-bit byte-banded self-join.
 
     Pigeonhole: ≤3 differing bits over 4 disjoint bytes ⇒ at least one
     byte equal ⇒ the banded equi-join finds EVERY qualifying pair — the
-    oracle's O(n²) scan and this plan return identical rows.
+    oracle's O(n²) scan and this plan return identical rows. Kept as
+    the A/B twin of :func:`simhash_pairs` (the half-enumeration plan
+    that replaced it — see there for the measured blocking-entropy
+    argument); equality of the three forms is pinned in
+    tests/test_training_ops.py.
     """
     sh = simhash(docs)
     bands = sh.select(

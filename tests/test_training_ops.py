@@ -45,8 +45,9 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 
 
 def test_simhash_banded_equals_bruteforce(spark):
-    """Pigeonhole property: byte-banded join returns exactly the pairs a
-    full O(n²) Hamming scan returns (Hamming ≤ 3 over 4 bands)."""
+    """Pigeonhole property, both blocking plans: the half-enumeration
+    join (simhash_pairs) AND the byte-banded self-join A/B twin return
+    exactly the pairs a full O(n²) Hamming scan returns (Hamming ≤ 3)."""
     sh = dedup.simhash(_docs(spark, SF_SMOKE))
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -61,11 +62,57 @@ def test_simhash_banded_equals_bruteforce(spark):
         .where(F.col("h") <= dedup.HAMMING_MAX)
         .collect()
     }
-    banded = {
+    halfenum = {
         (r.doc_a, r.doc_b)
         for r in dedup.simhash_pairs(_docs(spark, SF_SMOKE)).collect()
     }
+    banded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs_banded(_docs(spark, SF_SMOKE)).collect()
+    }
+    assert halfenum == brute
     assert banded == brute
+
+
+def test_simhash_halfenum_adversarial_bit_spreads(spark):
+    """The half-enumeration join on hand-built signatures covering every
+    way ≤3 (and the first >3) differing bits can straddle the two
+    16-bit halves: 0, 1+0, 2+0, 1+1, 3+0, 2+1, and the half-boundary
+    bits 15/16; 4 differing bits (2+2 and 3+1) must NOT pair."""
+    base = 0x5A5A_A5A5
+
+    def flip(*bits):
+        s = base
+        for b in bits:
+            s ^= 1 << b
+        return s
+
+    rows = [
+        (0, base),
+        (1, flip(3)),             # 1+0  -> pairs with 0
+        (2, flip(3, 7)),          # 2+0  -> pairs with 0 and 1
+        (3, flip(2, 30)),         # 1+1  -> pairs with 0
+        (4, flip(8, 9, 10)),      # 3+0  -> pairs with 0
+        (5, flip(8, 9, 30)),      # 2+1  -> pairs with 0 (and 4: h=2)
+        (6, flip(15, 16)),        # boundary straddle -> pairs with 0
+        (7, flip(1, 2, 17, 18)),  # 2+2  -> NOT with 0 (h=4)
+        (8, flip(11, 12, 13, 31)),# 3+1  -> NOT with 0
+    ]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup._pairs_from_signatures(sh).collect()
+    }
+    # brute expectation in python
+    exp = set()
+    for i, (ida, sa) in enumerate(rows):
+        for idb, sb in rows[i + 1:]:
+            h = bin(sa ^ sb).count("1")
+            if h <= dedup.HAMMING_MAX:
+                exp.add((ida, idb, h))
+    assert (0, 4, 3) in exp and (0, 6, 2) in exp  # the spreads that matter
+    assert not any(a == 0 and b in (7, 8) for a, b, _ in exp)
+    assert got == exp
 
 
 def test_exact_dedup_total_mass(spark):
