@@ -210,6 +210,47 @@ BANDS = 8  # rows per band = NUM_HASHES // BANDS = 4
 
 _MERSENNE31 = 2147483647  # 2^31 - 1
 
+# Sources whose optimizer-estimated bytes stay under this keep their
+# shingle intermediates in memory (MEMORY_AND_DISK); larger corpora go
+# straight to DISK_ONLY. Both regimes were measured (see
+# _shingle_storage_level): the threshold sits an order of magnitude
+# above the sf1 bench table (6 MB) and safely below the sf10 one
+# (58 MB), whose exploded shingle relation (75M+ rows) is what OOMed a
+# deserialized in-memory hold at local[32].
+_SMALL_SOURCE_BYTES = 32 << 20
+
+
+def _shingle_storage_level(docs: DataFrame):
+    """Storage level for corpus-sized shingle intermediates.
+
+    The verify plan persists the exploded shingle relation twice
+    (occurrences + distinct). Two measured failure modes, one per
+    level:
+    - MEMORY_AND_DISK on a big corpus: 75M+ deserialized rows held
+      while 32 tasks also build join/agg state OOMed an 8 GiB heap at
+      sf10 — big shingle relations must spill serialized.
+    - DISK_ONLY on a small corpus: pays a disk write per run where the
+      whole relation fits in a sliver of heap, and local blockmgr
+      writes occasionally stall for tens of seconds under VM
+      write-back (measured 0.9 s / 0.9 s / 20.6 s for identical runs).
+    Decide from the optimizer's source-size estimate (file bytes for a
+    parquet scan — available before any job runs, no extra pass).
+    Unknown size ⇒ DISK_ONLY: the safe choice is the one that cannot
+    OOM.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    try:
+        raw = (
+            docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        nbytes = raw if isinstance(raw, int) else int(raw.toString())
+    except Exception:
+        return StorageLevel.DISK_ONLY
+    if nbytes < _SMALL_SOURCE_BYTES:
+        return StorageLevel.MEMORY_AND_DISK
+    return StorageLevel.DISK_ONLY
+
 
 def _minhash_consts(k: int) -> tuple[int, int]:
     """Deterministic universal-hash constants (a_k, b_k) for hash k —
@@ -290,14 +331,13 @@ def minhash_lsh_pairs(
          bounded by the banding curve — see BANDS above).
     """
     rows = NUM_HASHES // BANDS
+    level = _shingle_storage_level(docs) if materialize else None
     shr = shingle_rows(docs, n)
     if materialize:
-        # serialized-on-disk reuse (see sdist below for why not a
-        # MEMORY_AND_DISK localCheckpoint): one row per shingle
-        # OCCURRENCE — the largest relation in the pipeline
-        from pyspark.storagelevel import StorageLevel
-
-        shr = shr.persist(StorageLevel.DISK_ONLY)
+        # reused by the signature agg and the verify stage: one row per
+        # shingle OCCURRENCE — the largest relation in the pipeline.
+        # Level is size-adaptive (see _shingle_storage_level).
+        shr = shr.persist(level)
     sigs = _minhash_from_shingle_rows(shr)
     bands = sigs.select(
         "doc_id",
@@ -356,16 +396,11 @@ def minhash_lsh_pairs(
     # same integer inter/union, same double division.
     sdist = shr.distinct()
     if materialize:
-        # DISK_ONLY, not localCheckpoint(MEMORY_AND_DISK): this relation
-        # is corpus-sized (one row per distinct (doc, shingle)) and is
-        # read 3× below; holding it as deserialized heap objects while
-        # 32 tasks also build join/agg state OOMed an 8 GiB local[32]
-        # heap at sf10. Serialized-on-disk keeps the reuse without the
-        # heap spike (an executor-local spill, exactly what a cluster
-        # would do).
-        from pyspark.storagelevel import StorageLevel
-
-        sdist = sdist.persist(StorageLevel.DISK_ONLY)
+        # corpus-sized (one row per distinct (doc, shingle)), read 3×
+        # below — persisted at the same size-adaptive level as shr
+        # (big corpora must spill serialized; small ones should never
+        # touch the local blockmgr disk — see _shingle_storage_level).
+        sdist = sdist.persist(level)
     sizes = sdist.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
     shared = (
         cand.join(sdist.withColumnRenamed("doc_id", "doc_a"), "doc_a")
