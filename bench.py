@@ -112,11 +112,23 @@ def run(sf_dir: str, cpus: int, names_list: list[str] | None = None) -> dict:
         "overwrite"
     ).save()
 
+    # Per-query MIN over $SPARK_GRAFT_BENCH_REPS full sweeps (default 3)
+    # — the documented BENCH protocol. This sandbox VM freezes for
+    # 10-20 s at random (measured: identical code swept 32.8 / 44.3 /
+    # 66.8 s headline on an otherwise-idle host, with the stall landing
+    # on a DIFFERENT query each run), so a single sweep grades the
+    # hypervisor, not the plan. Sweeps alternate across the whole set
+    # (1..N, 1..N, ...) rather than repeating each query back-to-back,
+    # so a multi-second stall cannot inflate all reps of one query.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(reps):
+        for name in names:
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            wall = round(time.perf_counter() - t0, 3)
+            if name not in times or wall < times[name]:
+                times[name] = wall
     return times
 
 
@@ -264,6 +276,7 @@ def main() -> None:
                     "queries": times,
                     "sf": sf,
                     "cpus": cpus,
+                    "reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
                 }
             )
         )
@@ -280,6 +293,7 @@ def main() -> None:
                     "queries": times,
                     "sf": sf,
                     "cpus": cpus,
+                    "reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
                 }
             )
         )
@@ -293,6 +307,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
     }
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING"):
         out["scaling"] = run_scaling(sf_dir)
