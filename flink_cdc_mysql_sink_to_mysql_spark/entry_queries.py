@@ -41,6 +41,7 @@ from .sources.transcripts import (
     MONGO_CHANGELOG_SQL,
     MYSQL_CHANGELOG_SQL,
     TRANSCRIPTS_SQL,
+    changelog_envelopes,
     mongo_changelog,
     mysql_changelog,
     transcripts,
@@ -208,10 +209,11 @@ FROM ev
 
 
 def _turn_events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = cdc.union_feeds(
-        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
-    )
-    return cdc.derive_turn_events(env)
+    # single-pass dual-dialect feed (one scan + one window over the
+    # events table; row-identical to the union_feeds form — see
+    # sources/transcripts.changelog_envelopes). The two-source union
+    # path (U1) stays exercised end-to-end by q_cdc_apply.
+    return cdc.derive_turn_events(changelog_envelopes(spark, sf_dir))
 
 
 # The engine keeps `metric` as DECIMAL(18,2) internally (reference parity:
@@ -242,10 +244,7 @@ def q_turn_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same semantics through the Arrow mapInPandas path (vectorized-UDF form)
 @register("turn_events_pandas", oracle=TURN_EVENTS_ORACLE)
 def q_turn_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = cdc.union_feeds(
-        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
-    )
-    ev = cdc.derive_turn_events_pandas(env)
+    ev = cdc.derive_turn_events_pandas(changelog_envelopes(spark, sf_dir))
     return ev.select(
         "conv_id",
         "turn_idx",
@@ -269,9 +268,7 @@ def q_turn_events_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_unregistered_oracles.py; the slot goes to
 # window_late_data / text_rolling_fp_cp instead.
 def q_turn_events_pandas_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = cdc.union_feeds(
-        mysql_changelog(spark, sf_dir), mongo_changelog(spark, sf_dir)
-    )
+    env = changelog_envelopes(spark, sf_dir)
     ev = cdc.derive_turn_events_pandas(env, pre_salt_buckets=32)
     return ev.select(
         "conv_id",

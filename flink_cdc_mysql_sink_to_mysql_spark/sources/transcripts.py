@@ -122,18 +122,17 @@ def _turn_struct(prefix: str = "") -> "F.Column":
     )
 
 
-def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Debezium-dialect changelog (F2): op/before/after/source/seq.
+_TURN_T = (
+    "struct<conv_id:string,turn_idx:int,role:string,text:string,"
+    "tool:string,ts:timestamp>"
+)
 
-    SINGLE pass over the transcript table: each row conditionally emits
-    its base op ('r'/'c'), an 'u' (+60 s) and a 'd' (+120 s) as an
-    array of envelope structs → filter nulls → explode — so the
-    row_number window behind ``transcripts`` runs ONCE (a 3-branch
-    union would scan + shuffle the events table three times). ``seq`` =
-    epoch-millis change order; last-writer-wins materialization gets a
-    total order per key.
-    """
-    t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 != 3)
+
+def _mysql_event_array() -> "F.Column":
+    """``array<struct<op,before,after,seq>>`` emitted by one
+    mysql-dialect transcript row (nulls already filtered out) — the
+    multi-emit logic shared by :func:`mysql_changelog` and
+    :func:`changelog_envelopes`; semantics in the module docstring."""
     seq0 = F.unix_millis(F.col("ts"))
     edited = F.concat(F.col("text"), F.lit(" [edited]"))
     is_snap = F.col("turn_idx") < 3
@@ -156,10 +155,7 @@ def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     edited_turn_snap = edited_turn_at(
         F.timestamp_millis(F.unix_millis(F.col("ts")) + 60000)
     )
-    null_turn = F.lit(None).cast(
-        "struct<conv_id:string,turn_idx:int,role:string,text:string,"
-        "tool:string,ts:timestamp>"
-    )
+    null_turn = F.lit(None).cast(_TURN_T)
 
     def env(op_col, before, after, seq):
         return F.struct(
@@ -189,8 +185,22 @@ def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             seq0 + 120000,
         ),
     )
-    events = F.filter(F.array(base, update, delete), lambda e: e.isNotNull())
-    return t.select(F.explode(events).alias("e")).select(
+    return F.filter(F.array(base, update, delete), lambda e: e.isNotNull())
+
+
+def mysql_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-dialect changelog (F2): op/before/after/source/seq.
+
+    SINGLE pass over the transcript table: each row conditionally emits
+    its base op ('r'/'c'), an 'u' (+60 s) and a 'd' (+120 s) as an
+    array of envelope structs → filter nulls → explode — so the
+    row_number window behind ``transcripts`` runs ONCE (a 3-branch
+    union would scan + shuffle the events table three times). ``seq`` =
+    epoch-millis change order; last-writer-wins materialization gets a
+    total order per key.
+    """
+    t = transcripts(spark, sf_dir).where(F.col("event_id") % 7 != 3)
+    return t.select(F.explode(_mysql_event_array()).alias("e")).select(
         "e.op",
         "e.before",
         "e.after",
@@ -259,3 +269,76 @@ SELECT 'INSERT' AS operationType,
        epoch_ms(ts) AS create_time_ms
 FROM t WHERE event_id % 7 = 3
 """.format(transcripts=TRANSCRIPTS_SQL)
+
+
+def _mongo_event_array() -> "F.Column":
+    """Single-element ``array<struct<op,before,after,seq>>``: the mongo
+    insert row already in COMMON-envelope form — element-for-element
+    what ``cdc.normalize_mongo`` produces from :func:`mongo_changelog`
+    (op='c', null before, ``after.ts``/``seq`` through the extended-JSON
+    epoch-millis round-trip)."""
+    seq0 = F.unix_millis(F.col("ts"))
+    after = F.struct(
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("role"),
+        F.col("text"),
+        F.col("tool"),
+        F.timestamp_millis(seq0).alias("ts"),
+    )
+    return F.array(
+        F.struct(
+            F.lit("c").alias("op"),
+            F.lit(None).cast(_TURN_T).alias("before"),
+            after.alias("after"),
+            seq0.cast("long").alias("seq"),
+        )
+    )
+
+
+def changelog_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both CDC dialects from ONE pass over the transcript table.
+
+    Row-for-row identical (as an unordered multiset) to
+    ``cdc.union_feeds(mysql_changelog(...), mongo_changelog(...))`` —
+    pinned by ``tests/test_cdc.py`` — but scans and windows the events
+    table ONCE. The union form pays the base derivation twice: Spark
+    does not dedup common subplans across a union, and the dialect
+    filter (``event_id % 7``) cannot push below the ``row_number``
+    window, so EACH branch runs scan → hash exchange → sort → window
+    over the FULL table. At sf10 (11M envelopes) that double pass is
+    the single largest cost in every envelope-fed query. One source
+    consumed by all downstream handlers is also the reference's own
+    topology (UserBehaviorClickHouseSinkJob.java:66 — one job, two CDC
+    streams, shared pipeline).
+
+    ``union_feeds`` and the per-dialect sources remain the U1 surface
+    (`cdc_apply_upsert` exercises them end-to-end); this is the scale
+    path for the stateless event-derivation queries.
+    """
+    t = transcripts(spark, sf_dir)
+    is_mongo = F.col("event_id") % 7 == 3
+    events = F.when(is_mongo, _mongo_event_array()).otherwise(
+        _mysql_event_array()
+    )
+    return t.select(
+        is_mongo.alias("_m"), F.explode(events).alias("e")
+    ).select(
+        "e.op",
+        "e.before",
+        "e.after",
+        F.when(
+            F.col("_m"),
+            F.struct(
+                F.lit("bm-mall").alias("db"), F.lit("review").alias("table")
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.lit("transcripts").alias("db"), F.lit("turns").alias("table")
+            )
+        )
+        .alias("source"),
+        "e.seq",
+        F.when(F.col("_m"), F.lit(10)).cast("int").alias("_kind_override"),
+    )

@@ -328,3 +328,26 @@ def test_pandas_path_survives_null_turn_idx(spark):
     r = cdc.derive_turn_events(env).collect()[0]
     assert r["turn_idx"] is None and r["source_id"] is None
     assert r["metric"] is None
+
+
+def test_changelog_envelopes_single_pass_equals_union(spark):
+    """The one-pass dual-dialect source is row-identical (unordered) to
+    union_feeds(mysql_changelog, mongo_changelog) on the driver data —
+    the contract that lets the stateless event-derivation queries use
+    the single-scan/single-window feed without touching their oracles."""
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+        changelog_envelopes,
+        mongo_changelog,
+        mysql_changelog,
+    )
+    from tests.conftest import SF_SMOKE
+
+    u = cdc.union_feeds(
+        mysql_changelog(spark, SF_SMOKE), mongo_changelog(spark, SF_SMOKE)
+    )
+    m = changelog_envelopes(spark, SF_SMOKE)
+    assert u.schema == m.schema
+    ur = sorted(map(str, u.collect()))
+    mr = sorted(map(str, m.collect()))
+    assert len(ur) > 0
+    assert ur == mr
