@@ -520,77 +520,89 @@ def repetition_profile(docs: DataFrame) -> DataFrame:
       floor(1000·(n_words−n_distinct)/n_words);
     - ``top_bigram_n`` (occurrences of the most frequent word 2-gram)
       and ``top_bigram_permille`` = floor(1000·top/n_bigrams);
-    - ``max_word_run`` — longest consecutive repetition of one word
-      (gaps-and-islands on word positions, same pattern as
-      operators/trace.py).
+    - ``max_word_run`` — longest consecutive repetition of one word.
 
-    All-integer outputs (cross-engine exact). Scale shape: posexplode →
-    windows → groupBys all partition on doc_id — ONE exchange of
-    (doc_id, pos, word), everything downstream reuses it; docs with
-    <2 words get bigram metrics 0.
+    All-integer outputs (cross-engine exact). Scale shape (round 3):
+    ZERO shuffles — a document's repetition metrics depend only on that
+    document, and per-doc word counts are bounded (kB–MB text), so the
+    whole profile is ONE narrow projection using array higher-order
+    functions. The bigram mode becomes "longest equal run in the SORTED
+    bigram array" (sort ≡ group for counting multiplicities) and
+    ``max_word_run`` is the same single-pass run-length aggregate over
+    the UNSORTED word array. The previous formulation posexploded to
+    (doc_id, pos, word) and ran windows + three grouped aggregations
+    over a doc_id exchange — at sf10 (500k docs) that explode shuffle
+    was the slowest extended query (12.3 s); this form shuffles nothing
+    and scans only (doc_id, text). Docs with <2 words get bigram
+    metrics 0; split(trim(text)) yields [''] for empty text so n ≥ 1
+    and the permille denominators are never 0.
     """
-    from pyspark.sql import Window
+    # Layered selects keep each array a plain attribute reference, so
+    # CollapseProject will NOT inline the tokenizer/bigram arrays into
+    # their (multiple) consumers — split runs once per row (the no-CSE
+    # lambda trap in BENCH/BASELINE.md §3).
+    base = docs.select(
+        "doc_id", words(F.col("text")).alias("w")
+    ).select("doc_id", "w", F.size("w").alias("n"))
 
-    w = words(F.col("text"))
-
-    # Single tokenize + single window pass (ONE exchange on doc_id,
-    # reused by every branch below — Spark's ReuseExchange; plan pinned
-    # in test_plans.py): lead() builds bigrams, a running sum of
-    # word-change indicators assigns run ids — same trick as
-    # operators/trace.py. Word stats come from the SAME exploded stream
-    # (split(trim(text)) yields [''] for empty text, so every doc emits
-    # ≥1 row and no doc is lost to the explode).
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    run_frame = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    run_start = (F.col("pos") == 0) | (
-        F.col("word") != F.lag("word").over(win)
-    )
-    wp = docs.select("doc_id", F.posexplode(w).alias("pos", "word")).select(
+    # Sorted bigram array: slice to the first n-1 words, pair each with
+    # its successor (transform index i is 0-based; w[i+1] is the
+    # 0-based subscript). n=1 ⇒ slice length 0 ⇒ [].
+    bg = base.select(
         "doc_id",
-        "word",
-        F.lead("word", 1).over(win).alias("nxt"),
-        F.sum(run_start.cast("int")).over(run_frame).alias("run_id"),
+        "w",
+        "n",
+        F.array_sort(
+            F.expr(
+                "transform(slice(w, 1, n - 1),"
+                " (x, i) -> concat(x, ' ', w[i + 1]))"
+            )
+        ).alias("bs"),
     )
 
-    word_stats = wp.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_words"),
-        F.count_distinct("word").cast("int").alias("n_distinct_words"),
-    )
-
-    bigrams = (
-        wp.where(F.col("nxt").isNotNull())
-        .groupBy("doc_id", F.concat_ws(" ", "word", "nxt").alias("g"))
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").cast("int").alias("top_bigram_n"),
-            F.sum("c").cast("int").alias("n_bigrams"),
+    def _max_equal_run(arr: str) -> Column:
+        # Single left-fold: (prev, current-run-length, max-run-length).
+        # Initial prev NULL + null-safe <=> so the first element always
+        # starts a run of 1; over a sorted array this is the max
+        # multiplicity, over the raw word array the max consecutive run.
+        return F.expr(
+            f"""aggregate({arr},
+                 struct(CAST(NULL AS STRING) AS prev, 0 AS cur, 0 AS mx),
+                 (acc, x) -> struct(
+                     x AS prev,
+                     IF(x <=> acc.prev, acc.cur + 1, 1) AS cur,
+                     GREATEST(acc.mx,
+                              IF(x <=> acc.prev, acc.cur + 1, 1)) AS mx),
+                 acc -> acc.mx)"""
         )
+
+    m = bg.select(
+        "doc_id",
+        F.col("n").cast("int").alias("n_words"),
+        F.size(F.array_distinct("w")).cast("int").alias("n_distinct_words"),
+        _max_equal_run("bs").cast("int").alias("top_bigram_n"),
+        F.size("bs").cast("int").alias("n_bigrams"),
+        _max_equal_run("w").cast("int").alias("max_word_run"),
     )
 
-    runs = (
-        wp.groupBy("doc_id", "run_id")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-        .groupBy("doc_id")
-        .agg(F.max("run_len").cast("int").alias("max_word_run"))
-    )
-
-    return (
-        word_stats.join(bigrams, "doc_id", "left")
-        .join(runs, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_words",
-            "n_distinct_words",
-            _permille(
-                F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
-            ).alias("dup_word_permille"),
-            F.coalesce("top_bigram_n", F.lit(0)).alias("top_bigram_n"),
-            F.coalesce(
-                _permille(F.col("top_bigram_n"), F.col("n_bigrams")), F.lit(0)
-            ).alias("top_bigram_permille"),
-            F.coalesce("max_word_run", F.lit(0)).alias("max_word_run"),
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        _permille(
+            F.col("n_words") - F.col("n_distinct_words"), F.col("n_words")
+        ).alias("dup_word_permille"),
+        "top_bigram_n",
+        # guard the ANSI-mode division: no bigrams ⇒ 0 (the old
+        # outer-join formulation produced NULL→coalesce(0) here)
+        F.when(
+            F.col("n_bigrams") > 0,
+            _permille(F.col("top_bigram_n"), F.col("n_bigrams")),
         )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("top_bigram_permille"),
+        "max_word_run",
     )
 
 

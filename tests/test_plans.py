@@ -155,11 +155,14 @@ def test_trace_metrics_is_single_conv_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
-def test_repetition_profile_reuses_window_exchange(spark):
-    """Bigram and run branches must share ONE doc_id window exchange
-    (ReuseExchange); only the narrow word_stats join may add one more."""
+def test_repetition_profile_is_shuffle_free(spark):
+    """Per-doc metrics over bounded word arrays must plan as ONE narrow
+    projection (array HOFs) — no exchange, no explode-and-regroup: the
+    round-2 window formulation's doc_id shuffle was the slowest
+    extended query at sf10."""
     plan = _plan(spark, "text_repetition")
-    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
 
 
 def test_decontam_broadcasts_eval_side(spark):
