@@ -711,6 +711,20 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
+# NOT driver-registered (50-query budget): word-level exact substring
+# containment — pigeonhole anchor join vs an O(n²) DuckDB ground truth;
+# pinned by the local oracle sweep (tests/test_unregistered_oracles.py)
+# and semantic unit tests (tests/test_training_ops.py).
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_containment_pairs(_docs(spark, sf_dir))
+
+
+# NOT driver-registered (50-query budget): unigram-LM-proxy quality
+# (rank-based, integer-exact); local oracle sweep + unit tests.
+def q_vocab_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textfn.vocab_rank_quality(_docs(spark, sf_dir))
+
+
 @register(
     "dedup_embedding_cosine",
     oracle=dedup.embedding_near_dup_sql("embeddings"),

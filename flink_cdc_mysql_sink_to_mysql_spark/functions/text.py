@@ -707,3 +707,91 @@ def vocab_top_terms_sql(rel: str, k: int = VOCAB_K) -> str:
     ORDER BY n_occurrences DESC, term ASC
     LIMIT {k}
     """
+
+
+VOCAB_RANK_V = 16  # O(1) scored-vocabulary size (broadcast side)
+
+
+def vocab_rank_quality(docs: DataFrame, v: int = VOCAB_RANK_V) -> DataFrame:
+    """Per-doc unigram-LM-proxy quality: score each document by how its
+    tokens rank in the corpus top-``v`` vocabulary — the integer-exact
+    stand-in for perplexity filtering (a doc dominated by rare/OOV
+    tokens is low-quality or off-distribution; CCNet/Gopher use a KenLM
+    perplexity the same way). Float log-probs would never hash-match
+    across engines, so the signal is kept rank-based and all-integer:
+
+    - ``n_words`` / ``vocab_hits`` (token occurrences inside the top-v);
+    - ``oov_permille`` = floor(1000·(n_words−hits)/n_words);
+    - ``mean_vocab_rank`` = floor(sum(rank of each in-vocab token)/hits)
+      (0 when no token is in-vocab) — lower = more head-heavy.
+
+    Scale shape: the vocabulary is O(1) by construction (top-v via the
+    same TakeOrderedAndProject heap as :func:`vocab_top_terms`, then a
+    v-row rank window) and is EXPLICITLY broadcast, so the scoring pass
+    is explode → broadcast-hash join → one hash aggregation keyed on
+    doc_id (map-side partials; shuffle = 3 ints/doc). At 10^12 docs the
+    vocab build is its own corpus pass — production would feed a
+    precomputed/sampled vocabulary in place of the inline top-v.
+    """
+    from pyspark.sql import Window
+
+    ranked = vocab_top_terms(docs, v).select(
+        "term",
+        F.row_number()
+        .over(
+            Window.orderBy(F.col("n_occurrences").desc(), F.col("term").asc())
+        )
+        .alias("rank"),
+    )  # single-partition window over v = O(1) rows — intentional
+
+    tok = docs.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
+    per_doc = (
+        tok.join(F.broadcast(ranked), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_words"),
+            F.count("rank").cast("int").alias("vocab_hits"),
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("_sum_rank"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "vocab_hits",
+        _permille(
+            F.col("n_words") - F.col("vocab_hits"), F.col("n_words")
+        ).alias("oov_permille"),
+        F.when(
+            F.col("vocab_hits") > 0,
+            F.floor(F.col("_sum_rank") / F.col("vocab_hits")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("mean_vocab_rank"),
+    )
+
+
+def vocab_rank_quality_sql(rel: str, v: int = VOCAB_RANK_V) -> str:
+    """DuckDB SQL computing exactly :func:`vocab_rank_quality`."""
+    w = _sql_words()
+    return f"""
+    WITH vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER)
+               AS rank
+      FROM (SELECT term, count(*) AS n
+            FROM (SELECT unnest({w}) AS term FROM {rel})
+            GROUP BY term ORDER BY n DESC, term ASC LIMIT {v})
+    ),
+    tok AS (SELECT doc_id, unnest({w}) AS term FROM {rel}),
+    j AS (SELECT t.doc_id, v.rank FROM tok t LEFT JOIN vocab v USING (term))
+    SELECT doc_id,
+           CAST(count(*) AS INTEGER) AS n_words,
+           CAST(count(rank) AS INTEGER) AS vocab_hits,
+           {_sql_permille('count(*) - count(rank)', 'count(*)')}
+             AS oov_permille,
+           CAST(CASE WHEN count(rank) > 0
+                     THEN floor(sum(rank) / count(rank)) ELSE 0 END
+                AS INTEGER) AS mean_vocab_rank
+    FROM j GROUP BY doc_id
+    """

@@ -438,6 +438,135 @@ minhash_lsh_pairs_sql = jaccard_pairs_sql
 
 
 # ---------------------------------------------------------------------------
+# Exact substring containment (word-level suffix-style dedup)
+# ---------------------------------------------------------------------------
+
+SUBSTR_MIN_WORDS = 8  # anchor k-gram width = minimum detectable length
+
+
+def substring_containment_pairs(
+    docs: DataFrame, k: int = SUBSTR_MIN_WORDS
+) -> DataFrame:
+    """(inner_id, outer_id) pairs where inner's word sequence appears as
+    a CONTIGUOUS subsequence of outer's (word-level exact substring
+    containment — the "document A is a chunk of document B" dedup that
+    exact-hash and Jaccard both miss; the token-level analog of
+    suffix-array dedup à la "Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022, re-expressed relationally).
+
+    Semantics (exact, not approximate):
+    - only docs with ≥ ``k`` words participate (the standard min-match
+      length; shorter docs are exact-dedup territory);
+    - containment is word-aligned on whitespace-normalized text
+      ("scan slow" is NOT contained in "scan slower");
+    - equal texts pair once, ``inner_id < outer_id``; proper
+      containments orient shorter→longer.
+
+    Scale shape — pigeonhole-exact candidates, NOT O(n²): if inner ⊆
+    outer then inner's FIRST k words are one of outer's word k-grams,
+    so the candidate join is anchors(1 row/doc, 16-byte md5 key) ⋈
+    distinct k-grams (≤ n_words rows/doc) — linear in corpus tokens,
+    the same scale class as the MinHash band join. Candidates are then
+    verified with one instr() over the two normalized texts fetched by
+    id-keyed joins (narrow keys; the pair side never carries arrays —
+    same rationale as the MinHash verify above). k-gram emission is a
+    shuffle-free array HOF over the per-doc word array; the only
+    shuffles are the gram distinct and the joins.
+
+    Reference scope note: the reference has no dedup at all (its sink
+    delegates dedup to the ClickHouse table engine,
+    UserBehaviorClickHouseSinkJob.java:67-95); this operator is part of
+    the training-data extension surface.
+    """
+    base = (
+        docs.select("doc_id", words(F.col("text")).alias("w"))
+        .select(
+            "doc_id",
+            F.array_join("w", " ").alias("t"),
+            F.size("w").alias("nw"),
+            "w",
+        )
+        .where(F.col("nw") >= F.lit(k))
+    )
+
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, nw - {k} + 1),"
+                f" i -> md5(array_join(slice(w, i, {k}), ' ')))"
+            )
+        ).alias("kg"),
+    ).distinct()
+    anchors = base.select(
+        "doc_id", F.md5(F.array_join(F.slice("w", 1, k), " ")).alias("kg")
+    )
+
+    # one anchor per doc ⋈ distinct (doc, gram) ⇒ candidate pairs are
+    # already unique; no post-join distinct needed
+    cand = (
+        anchors.alias("a")
+        .join(
+            grams.alias("b"),
+            (F.col("a.kg") == F.col("b.kg"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("inner_id"),
+            F.col("b.doc_id").alias("outer_id"),
+        )
+    )
+
+    texts = base.select("doc_id", "t")
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    return (
+        cand.join(
+            texts.select(
+                F.col("doc_id").alias("inner_id"), F.col("t").alias("t_a")
+            ),
+            "inner_id",
+        )
+        .join(
+            texts.select(
+                F.col("doc_id").alias("outer_id"), F.col("t").alias("t_b")
+            ),
+            "outer_id",
+        )
+        .where(
+            (F.instr(pad(F.col("t_b")), pad(F.col("t_a"))) > 0)
+            & (
+                (F.length("t_a") < F.length("t_b"))
+                | (
+                    (F.length("t_a") == F.length("t_b"))
+                    & (F.col("inner_id") < F.col("outer_id"))
+                )
+            )
+        )
+        .select("inner_id", "outer_id")
+    )
+
+
+def substring_containment_sql(rel: str, k: int = SUBSTR_MIN_WORDS) -> str:
+    """DuckDB ground truth for :func:`substring_containment_pairs` —
+    the direct O(n²) pairwise definition (no anchor heuristic), so the
+    parity test also proves the pigeonhole candidate set is lossless."""
+    w = _sql_words()
+    return f"""
+    WITH n AS (SELECT doc_id,
+                      array_to_string({w}, ' ') AS t,
+                      len({w}) AS nw
+               FROM {rel}),
+         e AS (SELECT * FROM n WHERE nw >= {k})
+    SELECT a.doc_id AS inner_id, b.doc_id AS outer_id
+    FROM e a JOIN e b
+      ON a.doc_id <> b.doc_id
+     AND position((' ' || a.t || ' ') IN (' ' || b.t || ' ')) > 0
+     AND (len(a.t) < len(b.t)
+          OR (len(a.t) = len(b.t) AND a.doc_id < b.doc_id))
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash (32-bit) + banded Hamming join
 # ---------------------------------------------------------------------------
 

@@ -375,3 +375,93 @@ def test_quadratic_baselines_refuse_oversized_input(spark):
     emb = _emb(spark, SF_SMOKE)
     with pytest.raises(ValueError, match="O\\(n²\\).*embedding_near_dup_lsh"):
         dedup.embedding_near_dup(emb, max_rows=10)
+
+
+# ---------------------------------------------------------------------------
+# substring containment + vocab-rank quality (round-3 extensions)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_containment_semantics(spark):
+    """Word-aligned containment: a planted chunk pairs with its
+    container, a word-PREFIX overlap does not ('scan slow' inside
+    'scan slower' must NOT match), equal texts pair once oriented
+    doc_id<, and sub-k docs are excluded."""
+    K = dedup.SUBSTR_MIN_WORDS
+    w = " ".join(f"t{i}" for i in range(K))          # exactly K words
+    rows = [
+        (1, w),                                       # contained in 2, 3
+        (2, "head " + w + " tail"),                   # container
+        (3, w),                                       # equal text to 1
+        (4, w[:-1] + "X suffix pad pad pad pad pad"), # word-prefix trap
+        (5, "short doc"),                             # < K words: excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.inner_id, r.outer_id)
+        for r in dedup.substring_containment_pairs(docs).collect()
+    }
+    assert got == {(1, 2), (3, 2), (1, 3)}
+
+
+def test_substring_containment_matches_bruteforce_on_corpus(spark):
+    """Anchor candidates must be lossless on the real corpus: the
+    pigeonhole (inner ⊆ outer ⇒ inner's first k words are one of
+    outer's k-grams) makes the scale plan EXACT, pair-for-pair equal
+    to brute-force instr over all pairs."""
+    docs = _docs(spark).select("doc_id", "text")
+    got = {
+        (r.inner_id, r.outer_id)
+        for r in dedup.substring_containment_pairs(docs).collect()
+    }
+    base = docs.select(
+        "doc_id",
+        F.array_join(textfn.words(F.col("text")), " ").alias("t"),
+        F.size(textfn.words(F.col("text"))).alias("nw"),
+    ).where(F.col("nw") >= dedup.SUBSTR_MIN_WORDS)
+    a, b = base.alias("a"), base.alias("b")
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))  # noqa: E731
+    brute = {
+        (r.inner_id, r.outer_id)
+        for r in a.join(
+            b,
+            (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (F.instr(pad(F.col("b.t")), pad(F.col("a.t"))) > 0)
+            & (
+                (F.length("a.t") < F.length("b.t"))
+                | (
+                    (F.length("a.t") == F.length("b.t"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("inner_id"),
+            F.col("b.doc_id").alias("outer_id"),
+        )
+        .collect()
+    }
+    assert got == brute and len(got) > 0
+
+
+def test_vocab_rank_quality_semantics(spark):
+    """All-head doc scores rank 1 / OOV 0; all-OOV doc scores rank 0 /
+    OOV 1000; a mixed doc gets the exact integer floor metrics."""
+    rows = [(i, "the the the") for i in range(10)]  # 'the' dominates
+    rows += [(100, "the the"), (101, "zzz qqq"), (102, "the zzz zzz")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textfn.vocab_rank_quality(docs, v=1).collect()
+    }
+    head, oov, mixed = out[100], out[101], out[102]
+    assert (head.vocab_hits, head.oov_permille, head.mean_vocab_rank) == (
+        2, 0, 1,
+    )
+    assert (oov.vocab_hits, oov.oov_permille, oov.mean_vocab_rank) == (
+        0, 1000, 0,
+    )
+    # 1 hit of 3 words: oov = floor(2000/3) = 666, mean rank = 1
+    assert (mixed.vocab_hits, mixed.oov_permille, mixed.mean_vocab_rank) == (
+        1, 666, 1,
+    )

@@ -10,6 +10,13 @@ never weakens their correctness guarantee:
 - turn_events_pandas_salted  (pre-salted shuffle twin of turn_events_pandas)
 - ann_ivf_topk_nprobe2       (nprobe=2 parameter variant of ann_ivf_topk)
 - dedup_simhash              (signature intermediate of dedup_simhash_pairs)
+
+plus the round-3 extension operators added after the registry filled:
+
+- dedup_substring            (word-level exact substring containment;
+                              O(n²) DuckDB ground truth also proves the
+                              anchor candidate set lossless)
+- vocab_rank_quality         (unigram-LM-proxy rank quality)
 """
 
 from __future__ import annotations
@@ -18,6 +25,7 @@ import duckdb
 import pytest
 
 from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
+from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
 from flink_cdc_mysql_sink_to_mysql_spark.operators import dedup, similarity
 from tests.conftest import SF_CORRECT, register_views
 from tests.util import assert_same
@@ -45,6 +53,16 @@ CASES = [
         "dedup_simhash",
         eq.q_dedup_simhash,
         lambda: dedup.simhash_sql("documents"),
+    ),
+    (
+        "dedup_substring",
+        eq.q_dedup_substring,
+        lambda: dedup.substring_containment_sql("documents"),
+    ),
+    (
+        "vocab_rank_quality",
+        eq.q_vocab_rank_quality,
+        lambda: textfn.vocab_rank_quality_sql("documents"),
     ),
 ]
 
