@@ -230,3 +230,43 @@ def test_sink_n_buckets_is_table_owned(spark, tmp_path):
     assert snap3.where("text != 'v3'").count() == 0
     with open(mpath) as f:
         assert json.load(f)["n_buckets"] == 8
+
+
+def test_torn_commit_recovers(spark, tmp_path, golden):
+    """Crash INSIDE the commit window — after the versioned data dirs
+    are fully written but before the atomic manifest swap — must leave
+    the table readable at the OLD snapshot, and the foreachBatch replay
+    of that epoch must converge to the uninterrupted result (the
+    orphan version dir is deterministically named and overwritten)."""
+    env = mysql_changelog(spark, SF)
+    half = env.where(F.col("seq") % 2 == 0)
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    sink.merge_changelog(half, epoch_id=0)
+    snap_before = rows_of(sink.snapshot(spark))
+
+    # inject the crash: data written, manifest swap never happens
+    real_commit = sink._commit_manifest
+
+    def boom(manifest):
+        raise RuntimeError("crash between data write and manifest swap")
+
+    sink._commit_manifest = boom
+    with pytest.raises(RuntimeError, match="manifest swap"):
+        sink.merge_changelog(env, epoch_id=1)
+
+    # a fresh reader (new sink handle on the same root) sees the OLD
+    # snapshot — the torn version dir is unreferenced
+    reader = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    assert rows_of(reader.snapshot(spark)) == snap_before
+    manifest = json.load(open(tmp_path / "table" / "_manifest.json"))
+    assert 1 not in manifest["epochs"]
+
+    # restart replays epoch 1 (source is replayable): converges exactly
+    sink._commit_manifest = real_commit
+    out = sink.merge_changelog(env, epoch_id=1)
+    assert not out.get("skipped")
+    assert rows_of(sink.snapshot(spark)) == golden
+    # no stray manifest entries: every referenced dir exists on disk
+    manifest = json.load(open(tmp_path / "table" / "_manifest.json"))
+    for rel in manifest["buckets"].values():
+        assert os.path.isdir(tmp_path / "table" / rel)
