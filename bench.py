@@ -55,13 +55,16 @@ HEADLINE = [
 ]
 
 
-# Round-3 additions (post-BENCH_r02 registry), timed separately
-# (`--r3`) so --extended stays apples-to-apples with round 2.
+# Round-3 additions (post-BENCH_r02 registry + post-50-budget local-
+# oracle ops), timed separately (`--r3`) so --extended stays
+# apples-to-apples with round 2.
 ROUND3 = [
     "window_late_data",
     "text_rolling_fp_cp",
     "multimodal_decode_fake",
     "multimodal_frame_sample",
+    "dedup_substring",
+    "vocab_rank_quality",
 ]
 
 
@@ -97,8 +100,13 @@ def _force(df) -> int:
 def run(sf_dir: str, cpus: int, names_list: list[str] | None = None) -> dict:
     spark = get_spark(app_name="bench", cpus=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = entry_queries.queries()
+    qs = dict(entry_queries.queries())
     names = list(names_list or HEADLINE)
+    # post-50-budget ops live as plain q_<name> functions (local oracle
+    # sweep, tests/test_unregistered_oracles.py) — bench them the same way
+    for n in names:
+        if n not in qs and hasattr(entry_queries, f"q_{n}"):
+            qs[n] = getattr(entry_queries, f"q_{n}")
     missing = [n for n in names if n not in qs]
     # a renamed registry entry must fail LOUDLY — silently shrinking the
     # set would read as a spurious perf win against the baseline

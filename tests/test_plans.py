@@ -181,3 +181,34 @@ def test_vocab_top_terms_is_heap_topk_not_global_sort(spark):
     a global Sort here would shuffle the whole vocabulary."""
     plan = _plan(spark, "vocab_top_terms")
     assert "TakeOrderedAndProject" in plan
+
+
+def _plan_of(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_vocab_rank_quality_broadcasts_vocab(spark):
+    """The top-v vocabulary is O(1) by construction and must plan as a
+    broadcast join — a shuffle join would re-exchange the full token
+    stream on the term key."""
+    from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
+
+    plan = _plan_of(spark, eq.q_vocab_rank_quality(spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_substring_containment_joins_on_anchor_keys(spark):
+    """The candidate join must be an equi-join on the md5 anchor key —
+    never a cartesian/nested-loop pass over doc pairs — and the verify
+    joins must stay id-keyed."""
+    from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
+
+    plan = _plan_of(spark, eq.q_dedup_substring(spark, SF_CORRECT))
+    for bad in ("BroadcastNestedLoop", "CartesianProduct"):
+        assert bad not in plan
