@@ -489,6 +489,11 @@ def substring_containment_pairs(
         .where(F.col("nw") >= F.lit(k))
     )
 
+    # md5 HEX keys deliberately (not unhex binary): a binary join key
+    # measured 4× slower end-to-end at sf10 (42.7 s vs 11.7 s, same
+    # harness) — BinaryType grouping/join comparisons fall off the
+    # string fast path and cost far more than the 2× key-width saving.
+    # Same trade the MinHash band join makes.
     grams = base.select(
         "doc_id",
         F.explode(
