@@ -65,6 +65,8 @@ ROUND3 = [
     "multimodal_frame_sample",
     "dedup_substring",
     "vocab_rank_quality",
+    "dedup_span",
+    "dedup_semantic",
 ]
 
 

@@ -913,3 +913,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_image(
         multimodal.media_table(_docs(spark, sf_dir)), fake=True
     )
+
+
+# NOT driver-registered (50-query budget): span-grain duplicate REMOVAL
+# with document rewrite (ExactSubstr-style, Lee et al. 2022) — the
+# dedup that edits documents instead of dropping them whole; local
+# oracle sweep (tests/test_unregistered_oracles.py) + unit tests.
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.span_dedup(_docs(spark, sf_dir))
+
+
+# NOT driver-registered (50-query budget): SemDeDup — cluster-scoped
+# embedding near-dup removal (the published O(Σcᵢ²) scale path for
+# embedding dedup); local oracle sweep + unit tests.
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(_emb(spark, sf_dir))

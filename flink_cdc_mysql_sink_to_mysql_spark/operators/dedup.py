@@ -1067,3 +1067,111 @@ def conversation_fingerprints_sql(rel: str) -> str:
            CAST(count(*) AS INTEGER) AS n_turns
     FROM ({rel}) GROUP BY conv_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Span-grain duplicate REMOVAL (rewrite, not just detection)
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 8
+
+
+def span_dedup(docs: DataFrame, k: int = SPAN_WORDS) -> DataFrame:
+    """Corpus-wide duplicate-span removal with document rewrite — the
+    span-grain dedup real LLM pipelines run (suffix-array ExactSubstr
+    dedup à la Lee et al. 2022 *removes the duplicated span and keeps
+    the rest of the document*; exact/MinHash dedup above only drop or
+    flag whole docs). Non-overlapping ``k``-word blocks stand in for
+    suffix-array spans: a block whose text already occurred anywhere
+    earlier in the corpus (first occurrence = smallest
+    ``(doc_id, block_idx)``) is deleted; surviving blocks re-join in
+    order. Returns ``(doc_id, n_blocks, n_kept, clean_text)`` for every
+    input document (fully-deduped docs surface with ``n_kept=0`` and
+    empty text — the caller's drop/keep policy stays visible).
+
+    Scale shape: tokenize once per doc; block emission is a shuffle-free
+    array HOF over plain attribute refs (layered selects — HOF lambdas
+    get no CSE across scopes, see shingle_rows); first-occurrence is ONE
+    hash aggregate ``min(struct(doc_id, block_idx))`` keyed on the block
+    text (map-side partial min, shuffle value is one tiny struct — no
+    window, no self-join, no pair space); reassembly is one doc_id
+    aggregate; the final left join is id-keyed. Linear in corpus tokens
+    at every step — the same scale class as exact dedup.
+
+    Reference scope note: the reference has no dedup at all (sink-side
+    ClickHouse table engine, UserBehaviorClickHouseSinkJob.java:67-95);
+    training-data extension surface.
+    """
+    base = docs.select("doc_id", words(F.col("text")).alias("w")).select(
+        "doc_id",
+        "w",
+        F.ceil(F.size("w") / F.lit(k)).cast("int").alias("nb"),
+    )
+    blocks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, nb - 1),"
+                f" i -> array_join(slice(w, i * {k} + 1, {k}), ' '))"
+            )
+        ).alias("block_idx", "block_text"),
+    )
+    kept = blocks.groupBy("block_text").agg(
+        F.min(F.struct("doc_id", "block_idx")).alias("f")
+    )
+    reasm = kept.select(
+        F.col("f.doc_id").alias("doc_id"),
+        F.col("f.block_idx").alias("block_idx"),
+        "block_text",
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_idx", "block_text"))),
+                lambda x: x["block_text"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc_id", F.col("nb").cast("long").alias("n_blocks"))
+        .join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_blocks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def span_dedup_sql(rel: str, k: int = SPAN_WORDS) -> str:
+    """DuckDB twin of :func:`span_dedup` (window-ranked first
+    occurrence instead of the struct-min aggregate — same rows)."""
+    w = _sql_words()
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {w} AS w FROM {rel}
+    ), b2 AS (
+      SELECT doc_id, w, CAST(ceil(len(w) / {k}.0) AS INT) AS nb FROM base
+    ), blocks AS (
+      SELECT doc_id, CAST(t.i - 1 AS INT) AS block_idx,
+             array_to_string(w[(t.i - 1) * {k} + 1 : t.i * {k}], ' ')
+               AS block_text
+      FROM b2, unnest(generate_series(1, nb)) AS t(i)
+    ), kept AS (
+      SELECT doc_id, block_idx, block_text FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY block_text ORDER BY doc_id, block_idx) AS rn
+        FROM blocks
+      ) WHERE rn = 1
+    ), reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.nb AS BIGINT) AS n_blocks,
+           coalesce(r.n_kept, 0) AS n_kept,
+           coalesce(r.clean_text, '') AS clean_text
+    FROM b2 b LEFT JOIN reasm r USING (doc_id)
+    """

@@ -553,3 +553,101 @@ def quantize_int8_sql(rel: str) -> str:
                 ELSE 0.0 END AS max_abs_err
     FROM b
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: within-cluster embedding near-dup removal
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then deduplicate ONLY within clusters — the scale
+    trick that turns O(n²) embedding near-dup into O(Σ cᵢ²) with
+    bounded cluster sizes. A vector is dropped when some SAME-CLUSTER
+    vector with a smaller vec_id has cosine ≥ ``threshold`` (keep-first
+    on id order — one relational pass, no iterative greedy chain).
+    Returns ``(vec_id, cell, is_kept)`` for every input vector, the
+    keep-flag form downstream mixture/sampling stages gate on.
+
+    Scale shape: assignment is the broadcast argmax join from
+    :func:`ivf_assign` (O(n·k), codebook constant); the dup probe is an
+    equi-join ON CELL ONLY (never all-pairs) with norms folded once per
+    vector and reused on both sides; the verdict is a left-anti-shaped
+    left join on vec_id. On a real corpus the codebook size grows with
+    n (k-means via :func:`ivf_centroids_kmeans` drops in unchanged) so
+    per-cluster pair counts stay bounded — exactly the published
+    SemDeDup recipe. Clustering makes it approximate by construction
+    (cross-cluster near-dups are unseen); the exact baseline it
+    replaces is dedup.embedding_near_dup, and the DuckDB oracle
+    replicates the SAME cluster-scoped semantics, so parity is exact.
+    """
+    a = ivf_assign(emb, n_centroids, centroids).select(
+        "vec_id", "embedding", "v_nrm", "cell"
+    )
+    x, y = a.alias("x"), a.alias("y")
+    dups = (
+        x.join(
+            y,
+            (F.col("x.cell") == F.col("y.cell"))
+            & (F.col("x.vec_id") > F.col("y.vec_id")),
+        )
+        .where(
+            dot_fold(F.col("x.embedding"), F.col("y.embedding"))
+            / (F.col("x.v_nrm") * F.col("y.v_nrm"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("x.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        a.select("vec_id", "cell")
+        .join(dups.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.when(F.col("_dup").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+def semantic_dedup_sql(
+    rel: str,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = N_CENTROIDS,
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` (same fixed codebook, same
+    cluster-scoped keep-first rule, same fold arithmetic)."""
+    ccos_assign = cosine_sql("e.embedding", "c.embedding")
+    cos = cosine_sql("x.embedding", "y.embedding")
+    return f"""
+    WITH assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.vec_id AS cell,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {ccos_assign} DESC, c.vec_id ASC)
+                 AS rn
+        FROM {rel} e JOIN {rel} c ON c.vec_id < {n_centroids}
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT x.vec_id
+      FROM assign x JOIN assign y
+        ON x.cell = y.cell AND x.vec_id > y.vec_id
+      WHERE {cos} >= {threshold}
+    )
+    SELECT a.vec_id, a.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+             AS is_kept
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """

@@ -465,3 +465,96 @@ def test_vocab_rank_quality_semantics(spark):
     assert (mixed.vocab_hits, mixed.oov_permille, mixed.mean_vocab_rank) == (
         1, 666, 1,
     )
+
+
+def test_span_dedup_semantics(spark):
+    """Planted layout, k=4: doc 0 owns blocks A B; doc 1 repeats A then
+    a fresh C; doc 2 is A B again (fully deduped); doc 3 repeats its own
+    first block within itself (intra-doc dup also removed)."""
+    A = "a b c d"
+    B = "e f g h"
+    C = "p q r s"
+    rows = [
+        (0, f"{A} {B}"),
+        (1, f"{A} {C}"),
+        (2, f"{A} {B}"),
+        (3, f"{C} {C}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.span_dedup(docs, k=4).collect()
+    }
+    assert out[0]["n_blocks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == f"{A} {B}"
+    # doc 1: A already seen at (0,0); C is new BUT (1,1) loses to (3,0)?
+    # no — (1,1) < (3,0) in (doc_id, block_idx) order, so doc 1 keeps C
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == C
+    assert out[2]["n_kept"] == 0 and out[2]["clean_text"] == ""
+    # doc 3: first C lost to doc 1's earlier occurrence; second C is a
+    # repeat of the same block text — both go
+    assert out[3]["n_blocks"] == 2 and out[3]["n_kept"] == 0
+
+
+def test_span_dedup_ragged_tail_block(spark):
+    """A doc whose word count is not a multiple of k keeps its short
+    tail block, and identical tails dedup across docs."""
+    rows = [(0, "a b c d e"), (1, "x y z w e")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r for r in dedup.span_dedup(docs, k=4).collect()
+    }
+    assert out[0]["n_blocks"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == "a b c d e"
+    # doc 1's tail "e" duplicates doc 0's tail block
+    assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == "x y z w"
+
+
+def test_semantic_dedup_keep_first_within_cluster(spark):
+    """Two near-identical vectors land in one cluster: the smaller id
+    is kept, the larger dropped; orthogonal vectors all survive."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid long, cemb array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.01, 0.0, 0.0]),
+            (11, [1.0, 0.02, 0.0, 0.0]),  # near-dup of 10, same cell
+            (12, [0.0, 1.0, 0.0, 0.0]),  # other cell, untouched
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in similarity.semantic_dedup(
+            emb, threshold=0.9, centroids=cents
+        ).collect()
+    }
+    assert out[10]["is_kept"] == 1
+    assert out[11]["is_kept"] == 0
+    assert out[12]["is_kept"] == 1
+    assert out[10]["cell"] == out[11]["cell"] == 0
+    assert out[12]["cell"] == 1
+
+
+def test_semantic_dedup_cluster_scoping_is_visible(spark):
+    """Near-dups split across clusters are NOT dropped — the documented
+    approximation vs the exact embedding_near_dup baseline (this is the
+    trade SemDeDup makes for O(sum c_i^2))."""
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.05, 0.0, 0.0]), (1, [1.0, -0.05, 0.0, 0.0])],
+        "cid long, cemb array<double>",
+    )
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.011, 0.0, 0.0]),   # argmax → cell 0
+            (11, [1.0, -0.011, 0.0, 0.0]),  # argmax → cell 1, cos≈1 to 10
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(
+        emb, threshold=0.9, centroids=cents
+    ).collect()
+    assert all(r["is_kept"] == 1 for r in out)
+    assert {r["cell"] for r in out} == {0, 1}

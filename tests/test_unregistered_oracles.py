@@ -17,6 +17,10 @@ plus the round-3 extension operators added after the registry filled:
                               O(n²) DuckDB ground truth also proves the
                               anchor candidate set lossless)
 - vocab_rank_quality         (unigram-LM-proxy rank quality)
+- dedup_span                 (corpus-wide duplicate-span removal with
+                              document rewrite, ExactSubstr-style)
+- dedup_semantic             (SemDeDup: cluster-scoped embedding
+                              near-dup keep-first removal)
 """
 
 from __future__ import annotations
@@ -63,6 +67,16 @@ CASES = [
         "vocab_rank_quality",
         eq.q_vocab_rank_quality,
         lambda: textfn.vocab_rank_quality_sql("documents"),
+    ),
+    (
+        "dedup_span",
+        eq.q_dedup_span,
+        lambda: dedup.span_dedup_sql("documents"),
+    ),
+    (
+        "dedup_semantic",
+        eq.q_dedup_semantic,
+        lambda: similarity.semantic_dedup_sql("embeddings"),
     ),
 ]
 
