@@ -275,6 +275,25 @@ def main() -> None:
         print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
         return
 
+    if "--names" in sys.argv:
+        # ad-hoc subset (e.g. the sf100 spot run): --names a,b,c
+        names = sys.argv[sys.argv.index("--names") + 1].split(",")
+        times = run(sf_dir, cpus, names_list=names)
+        print(
+            json.dumps(
+                {
+                    "metric": "subset_query_wall_seconds",
+                    "value": round(sum(times.values()), 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": sf,
+                    "cpus": cpus,
+                    "reps": int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")),
+                }
+            )
+        )
+        return
+
     if "--r3" in sys.argv:
         times = run(sf_dir, cpus, names_list=ROUND3)
         print(

@@ -91,3 +91,22 @@ def test_events_replica_props_stays_valid_json_even_nested():
     assert json.loads(out) == {"a": {"b": 1}, "r": 4}
     assert r["event_id"].to_pylist() == [1 + 4 * 100_000]
     assert r["user_id"].to_pylist() == [2 + 4 * 1_500]
+
+
+def test_streamed_writer_rows_identical_to_concat(tmp_path):
+    """The sf100 streaming writer (one replica per row group) must
+    produce byte-identical ROWS to the in-memory concat path — only the
+    parquet layout may differ."""
+    import pyarrow.parquet as pq
+
+    from tools.upscale_bench_data import upscale
+
+    a, b = tmp_path / "concat", tmp_path / "stream"
+    upscale(str(a), 2, stream=False)
+    upscale(str(b), 2, stream=True)
+    for name in ("events", "documents", "embeddings"):
+        ta = pq.read_table(a / f"{name}.parquet")
+        tb = pq.read_table(b / f"{name}.parquet")
+        assert ta.num_rows == tb.num_rows
+        assert ta.schema.equals(tb.schema)
+        assert ta.equals(tb), name

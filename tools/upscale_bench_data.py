@@ -160,7 +160,8 @@ _REPLICATORS = {
 }
 
 
-def upscale(outdir: str, factor: int) -> None:
+def upscale(outdir: str, factor: int, stream: bool | None = None) -> None:
+    stream = factor > 100 if stream is None else stream
     os.makedirs(outdir, exist_ok=True)
     for name in COPY_TABLES:
         shutil.copyfile(
@@ -168,25 +169,46 @@ def upscale(outdir: str, factor: int) -> None:
         )
     for name, fn in _REPLICATORS.items():
         src = pq.read_table(f"{SRC}/{name}.parquet")
-        out = pa.concat_tables([fn(src, k) for k in range(factor)])
-        # genuinely splittable scans: ≥32 row groups per file even for
-        # the smallest upscaled table (sf1 embeddings, 20k rows) — the
-        # earlier 131_072 left sf1 documents/embeddings as ONE row
-        # group, the exact degenerate layout the engine's split repair
-        # exists to diagnose, and skewed any reader not routed through
-        # read_parquet_repaired (DuckDB oracle sweeps, ad-hoc reads).
-        pq.write_table(
-            out,
-            f"{outdir}/{name}.parquet",
-            row_group_size=max(512, out.num_rows // 64),
-        )
-        print(f"{outdir}/{name}.parquet rows={out.num_rows}")
+        if not stream:
+            out = pa.concat_tables([fn(src, k) for k in range(factor)])
+            # genuinely splittable scans: ≥32 row groups per file even
+            # for the smallest upscaled table (sf1 embeddings, 20k
+            # rows) — the earlier 131_072 left sf1 docs/embeddings as
+            # ONE row group, the exact degenerate layout the engine's
+            # split repair exists to diagnose, and skewed any reader
+            # not routed through read_parquet_repaired (DuckDB oracle
+            # sweeps, ad-hoc reads).
+            pq.write_table(
+                out,
+                f"{outdir}/{name}.parquet",
+                row_group_size=max(512, out.num_rows // 64),
+            )
+            n = out.num_rows
+        else:
+            # sf100+: 1000 replicas would hold tens of GB in memory at
+            # once — stream one replica per row group instead (identical
+            # rows, identical replica order; each replica is well above
+            # the 512-row floor so the layout stays splittable).
+            writer = None
+            n = 0
+            for k in range(factor):
+                rep = fn(src, k)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        f"{outdir}/{name}.parquet", rep.schema
+                    )
+                writer.write_table(rep, row_group_size=rep.num_rows)
+                n += rep.num_rows
+            writer.close()
+        print(f"{outdir}/{name}.parquet rows={n}")
 
 
 def main() -> None:
     outroot = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata"
-    for sf, factor in (("sf1", 10), ("sf10", 100)):
-        upscale(os.path.join(outroot, sf), factor)
+    sizes = {"sf1": 10, "sf10": 100, "sf100": 1000}
+    wanted = [a for a in sys.argv[2:] if a in sizes] or ["sf1", "sf10"]
+    for sf in wanted:
+        upscale(os.path.join(outroot, sf), sizes[sf])
 
 
 if __name__ == "__main__":
