@@ -510,6 +510,41 @@ def test_span_dedup_ragged_tail_block(spark):
     assert out[1]["n_kept"] == 1 and out[1]["clean_text"] == "x y z w"
 
 
+def test_span_dedup_degenerate_docs_match_duckdb(spark):
+    """Empty / whitespace-only / NULL texts: `words()` is
+    split(trim(x), '\\s+'), which returns a ONE-element [""] array on
+    empty input in BOTH engines (so nb=1, never 0 — the descending
+    Spark `sequence(0, -1)` branch is unreachable) and NULL propagates
+    to a dropped block row + NULL n_blocks identically. Pinned because
+    a future `words()` change (e.g. filtering empties) would silently
+    re-open the Spark-vs-DuckDB empty-series divergence."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(0, "a b c d"), (1, ""), (2, "   "), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["clean_text"])
+        for r in dedup.span_dedup(docs, k=4).collect()
+    }
+    duck = duckdb.connect()
+    duck.register(
+        "span_edge_docs",
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+    )
+    want = {
+        d: (nb, nk, ct)
+        for d, nb, nk, ct in duck.execute(
+            dedup.span_dedup_sql("span_edge_docs", k=4)
+        ).fetchall()
+    }
+    assert got == want
+    # the two degenerate texts share block_text "" — first occurrence
+    # (doc 1) keeps it, doc 2 loses its only block
+    assert got[1] == (1, 1, "") and got[2] == (1, 0, "")
+    assert got[3][0] is None and got[3][1] == 0
+
+
 def test_semantic_dedup_keep_first_within_cluster(spark):
     """Two near-identical vectors land in one cluster: the smaller id
     is kept, the larger dropped; orthogonal vectors all survive."""
