@@ -234,6 +234,16 @@ def cosine_topk_numpy(
     matrix broadcast to every worker; each Arrow batch of corpus vectors
     becomes one BLAS matmul (batch × queries) — orders of magnitude
     faster per row than the per-element fold, with identical rankings.
+    The kernel ALSO takes the per-batch top-k per query (a combiner):
+    under the strict total order (cos DESC, vec_id ASC) every global
+    top-k row is in its batch's top-k, so emitting only nq·k candidate
+    rows per batch is exact — without it the kernel ships batch·nq
+    scored rows back through Arrow and the global rank window shuffles
+    corpus·nq rows (measured 26.6 s at sf100/2M vectors, 1.66× over
+    linear; the matmul itself is a trivial share). Ties at the k-th
+    value are resolved by re-ranking ALL rows at the threshold cos via
+    lexsort on (−cos, vec_id) before the cut, so boundary ties select
+    the smallest vec_id exactly as the global window would.
     numpy's pairwise summation differs from the sequential fold at
     ~1e-16, so `cos` is not BIT-identical to the DuckDB fold; the
     ``with_cos=False`` projection (q_id, vec_id, rank) IS exactly
@@ -257,21 +267,45 @@ def cosine_topk_numpy(
     def _score(batches):
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             cos = m @ b_qm.value.T  # (batch, nq)
-            nq = len(b_qids.value)
-            yield pd.DataFrame(
-                {
-                    "q_id": np.repeat(b_qids.value, len(ids)),
-                    "vec_id": np.tile(ids, nq),
-                    "cos": cos.T.reshape(-1),
-                }
-            )
+            qids, nq = b_qids.value, len(b_qids.value)
+            out_q, out_v, out_c = [], [], []
+            for j in range(nq):
+                c = cos[:, j]
+                # self row excluded here (not post-hoc): a -inf
+                # placeholder could out-rank nothing yet still be
+                # emitted when a batch holds < k non-self rows
+                valid = np.flatnonzero(ids != qids[j])
+                cv, iv = c[valid], ids[valid]
+                kk = min(k, len(iv))
+                if kk == 0:
+                    continue
+                if len(iv) > kk:
+                    part = np.argpartition(-cv, kk - 1)[:kk]
+                    thresh = cv[part].min()
+                    cand = np.flatnonzero(cv >= thresh)
+                else:
+                    cand = np.arange(len(iv))
+                sel = cand[np.lexsort((iv[cand], -cv[cand]))[:kk]]
+                out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
+                out_v.append(iv[sel])
+                out_c.append(cv[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
 
     scored = emb.select("vec_id", "embedding").mapInPandas(
         _score, schema="q_id long, vec_id long, cos double"
-    ).where(F.col("q_id") != F.col("vec_id"))
+    )
     return _topk(scored, k, with_cos=with_cos)
 
 
