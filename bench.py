@@ -261,6 +261,95 @@ def run_streaming_replay(
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_spooled(sf_dir: str, cpus: int) -> dict:
+    """Envelope-family operator cost over a pre-spooled changelog.
+
+    The batch queries re-derive the synthetic changelog from the events
+    table on every run (row_number window + multi-emit explode) — test
+    fixture scaffolding standing in for a binlog source. A production
+    deployment reads the changelog directly (the streaming path already
+    does: pipeline.materialize_stream consumes a spool). This mode
+    measures that path for the batch operators: write
+    ``changelog_envelopes`` ONCE to parquet (timed separately as
+    ``spool_seconds``), then time the downstream operators reading the
+    spool — derivation (Column + Arrow forms), LWW materialization, and
+    the sink projection. Spooled-vs-direct parity is pinned by
+    tests/test_cdc.py::test_spooled_envelopes_roundtrip_parity.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+        changelog_envelopes,
+    )
+
+    spark = get_spark(app_name="bench-spooled", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="env-spool-")
+    try:
+        t0 = time.perf_counter()
+        changelog_envelopes(spark, sf_dir).write.mode("overwrite").parquet(root)
+        spool_s = round(time.perf_counter() - t0, 3)
+        env = spark.read.parquet(root)
+
+        def _events_proj(ev):
+            return ev.select(
+                "conv_id",
+                "turn_idx",
+                "event_kind",
+                "event_name",
+                "source_id",
+                F.unix_millis("ts").alias("ts_ms"),
+                "seq",
+                F.col("metric").cast("bigint").alias("metric"),
+            )
+
+        targets = {
+            "turn_events": lambda: _events_proj(cdc.derive_turn_events(env)),
+            "turn_events_pandas": lambda: _events_proj(
+                cdc.derive_turn_events_pandas(env)
+            ),
+            "cdc_apply_upsert": lambda: cdc.apply_changelog(env).select(
+                "conv_id",
+                "turn_idx",
+                "role",
+                "text",
+                "tool",
+                F.unix_millis("ts").alias("ts_ms"),
+            ),
+            "sink_rows": lambda: cdc.sink_rows(cdc.derive_turn_events(env))
+            .drop("partition_id")
+            .withColumn("metric", F.col("metric").cast("bigint")),
+        }
+        targets["turn_events"]().limit(1).count()  # warm-up (JIT, footers)
+        targets["turn_events_pandas"]().write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm the Python worker pool
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+        times: dict[str, float] = {}
+        for _ in range(reps):
+            for name, fn in targets.items():
+                t0 = time.perf_counter()
+                _force(fn())
+                wall = round(time.perf_counter() - t0, 3)
+                if name not in times or wall < times[name]:
+                    times[name] = wall
+        return {
+            "metric": "spooled_query_wall_seconds",
+            "value": round(sum(times.values()), 3),
+            "unit": "sec",
+            "spool_seconds": spool_s,
+            "queries": times,
+            "cpus": cpus,
+            "reps": reps,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -273,6 +362,12 @@ def main() -> None:
 
     if "--streaming-replay" in sys.argv:
         print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
+        return
+
+    if "--spooled" in sys.argv:
+        out = run_spooled(sf_dir, cpus)
+        out["sf"] = sf
+        print(json.dumps(out))
         return
 
     if "--names" in sys.argv:

@@ -351,3 +351,31 @@ def test_changelog_envelopes_single_pass_equals_union(spark):
     mr = sorted(map(str, m.collect()))
     assert len(ur) > 0
     assert ur == mr
+
+
+def test_spooled_envelopes_roundtrip_parity(spark, tmp_path):
+    """bench.py --spooled measures operators over a parquet-spooled
+    changelog; this pins that the spool round-trip is lossless — the
+    derived turn events are row-identical (unordered) to the direct
+    single-pass feed, so the spooled timings measure the same work."""
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+        changelog_envelopes,
+    )
+    from tests.conftest import SF_SMOKE
+
+    direct_env = changelog_envelopes(spark, SF_SMOKE)
+    spool = str(tmp_path / "env_spool")
+    direct_env.write.mode("overwrite").parquet(spool)
+    spooled_env = spark.read.parquet(spool)
+
+    direct = cdc.derive_turn_events(direct_env)
+    spooled = cdc.derive_turn_events(spooled_env)
+    assert direct.schema == spooled.schema
+    dr = sorted(map(str, direct.collect()))
+    sr = sorted(map(str, spooled.collect()))
+    assert len(dr) > 0
+    assert dr == sr
+
+    dm = sorted(map(str, cdc.apply_changelog(direct_env).collect()))
+    sm = sorted(map(str, cdc.apply_changelog(spooled_env).collect()))
+    assert dm == sm
