@@ -249,16 +249,27 @@ def derive_turn_events_pandas(
                 buckets=pre_salt_buckets,
             ),
         )
+    # The kernel never needs the text payloads themselves — only their
+    # lengths (metric), null-ness, and a changed? bit for the D5 update
+    # guard. Computing those JVM-side keeps the strings OUT of the Arrow
+    # transfer: at 110M envelopes the two text columns dominated the
+    # batch bytes (the pandas form ran 1.9× the Column path at sf100
+    # before this; see BENCH/BASELINE.md §2f).
+    b_text, a_text = F.col("before.text"), F.col("after.text")
     flat = envelopes.select(
         "op",
         # payload test, in lockstep with the Column path's is_hist_row
-        F.col("before.text").isNotNull().alias("has_before"),
-        F.col("before.text").alias("b_text"),
+        b_text.isNotNull().alias("has_before"),
+        F.length(b_text).cast("long").alias("b_text_len"),
         F.col("before.ts").alias("b_ts"),
         F.col("after.conv_id").alias("conv_id"),
         F.col("after.turn_idx").cast("int").alias("turn_idx"),
         F.col("after.role").alias("role"),
-        F.col("after.text").alias("text"),
+        F.length(a_text).cast("long").alias("text_len"),
+        # D5 change guard, exactly the Column path's emit_update predicate
+        (b_text.isNull() | a_text.isNull() | (b_text != a_text)).alias(
+            "text_changed"
+        ),
         F.col("after.ts").alias("ts"),
         F.col("seq").cast("long").alias("seq"),
         (
@@ -275,19 +286,11 @@ def derive_turn_events_pandas(
             known = kind.notna() & pdf["ts"].notna()
             hist_row = (pdf["op"] == "r") & pdf["has_before"]
             ins = pdf["op"].isin(["r", "c"]) & known & ~hist_row
-            upd = (
-                (pdf["op"] == "u")
-                & known
-                & (
-                    pdf["b_text"].isna()
-                    | pdf["text"].isna()
-                    | (pdf["b_text"] != pdf["text"])
-                )
-            )
+            upd = (pdf["op"] == "u") & known & pdf["text_changed"]
             pair = (
                 (ins | upd)
                 & (pdf["role"] == "tool")
-                & pdf["text"].notna()
+                & pdf["text_len"].notna()
                 & pdf["kind_override"].isna()
             )
             # D5 historical pair: both timestamps must exist or the whole
@@ -297,7 +300,7 @@ def derive_turn_events_pandas(
             def mk(
                 mask: pd.Series,
                 kcol: pd.Series,
-                text_col: str = "text",
+                len_col: str = "text_len",
                 ts_col: str = "ts",
             ) -> pd.DataFrame:
                 s = pdf[mask]
@@ -311,7 +314,7 @@ def derive_turn_events_pandas(
                 src = (s["conv_id"] + "#" + ti.astype(str)).mask(
                     ti.isna() | s["conv_id"].isna()
                 )
-                ln = s[text_col].str.len()
+                ln = s[len_col]
                 return pd.DataFrame(
                     {
                         "conv_id": s["conv_id"],
@@ -332,7 +335,7 @@ def derive_turn_events_pandas(
                     mk(ins | upd, kind),
                     mk(pair, five),
                     # base kind @ before.ts (original), kind 6 @ after.ts
-                    mk(hist, kind, text_col="b_text", ts_col="b_ts"),
+                    mk(hist, kind, len_col="b_text_len", ts_col="b_ts"),
                     mk(hist, six),
                 ],
                 ignore_index=True,
