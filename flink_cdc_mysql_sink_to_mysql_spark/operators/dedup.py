@@ -217,7 +217,33 @@ _MERSENNE31 = 2147483647  # 2^31 - 1
 # above the sf1 bench table (6 MB) and safely below the sf10 one
 # (58 MB), whose exploded shingle relation (75M+ rows) is what OOMed a
 # deserialized in-memory hold at local[32].
-_SMALL_SOURCE_BYTES = 32 << 20
+# In-memory shingle persists are admitted only well below the measured
+# failure point: a 58 MB parquet source OOMed an 8 GiB heap under
+# MEMORY_AND_DISK, so the cutoff sits ~8× under it (not ~2×) — shingle
+# explosion is ~700× the source bytes and the non-16g heap shapes
+# (≤8-core test/scaling runs) must stay safe too.
+_SMALL_SOURCE_BYTES = 8 << 20
+
+# Corpus-sized intermediates persisted by minhash_lsh_pairs. persist()
+# pins a canonicalized plan in CacheManager for the APP lifetime (unlike
+# localCheckpoint, whose blocks the ContextCleaner reaps once the RDD is
+# unreferenced) — a long-lived session that runs the pipeline over many
+# corpora must release them or the block store fills. bench.py releases
+# after every timed query so rep N+1 re-materializes instead of silently
+# grading a warm cache.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every intermediate registered by minhash_lsh_pairs.
+
+    Safe to call while no returned frame is mid-action; frames already
+    computed stay valid (Spark recomputes from lineage if re-used)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
 
 
 def _shingle_storage_level(docs: DataFrame):
@@ -338,6 +364,7 @@ def minhash_lsh_pairs(
         # shingle OCCURRENCE — the largest relation in the pipeline.
         # Level is size-adaptive (see _shingle_storage_level).
         shr = shr.persist(level)
+        _PERSISTED.append(shr)
     sigs = _minhash_from_shingle_rows(shr)
     bands = sigs.select(
         "doc_id",
@@ -401,6 +428,7 @@ def minhash_lsh_pairs(
         # (big corpora must spill serialized; small ones should never
         # touch the local blockmgr disk — see _shingle_storage_level).
         sdist = sdist.persist(level)
+        _PERSISTED.append(sdist)
     sizes = sdist.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
     shared = (
         cand.join(sdist.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -819,8 +847,8 @@ def dot_fold(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_fold(a, b) / (
-        F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b))
+    return F.try_divide(
+        dot_fold(a, b), F.sqrt(dot_fold(a, a)) * F.sqrt(dot_fold(b, b))
     )
 
 
@@ -879,8 +907,8 @@ def embedding_near_dup(
         F.col("embedding").alias("eb"),
         norm_fold(F.col("embedding")).alias("nb"),
     )
-    cos = dot_fold(F.col("ea"), F.col("eb")) / (
-        F.col("na") * F.col("nb")
+    cos = F.try_divide(
+        dot_fold(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -963,8 +991,8 @@ def embedding_near_dup_lsh(
         F.col("embedding").alias("eb"),
         norm_fold(F.col("embedding")).alias("nb"),
     )
-    cos = dot_fold(F.col("ea"), F.col("eb")) / (
-        F.col("na") * F.col("nb")
+    cos = F.try_divide(
+        dot_fold(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
     )
     return (
         cand.join(ea, "vec_a")

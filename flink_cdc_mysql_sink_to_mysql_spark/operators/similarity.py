@@ -90,9 +90,9 @@ def cosine_topk(
     scored = q.join(corpus, F.col("q_id") != F.col("vec_id")).select(
         "q_id",
         "vec_id",
-        (
-            dot_fold(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.col("c_nrm"))
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm") * F.col("c_nrm"),
         ).alias("cos"),
     )
     return _topk(scored, k)
@@ -188,9 +188,9 @@ def lsh_topk(
     ).select(
         "q_id",
         "vec_id",
-        (
-            dot_fold(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.col("c_nrm"))
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm") * F.col("c_nrm"),
         ).alias("cos"),
     )
     return _topk(scored, k)
@@ -260,7 +260,8 @@ def cosine_topk_numpy(
     )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
-    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore"):  # zero-norm query → NaN, ranked last
+        qm /= np.linalg.norm(qm, axis=1, keepdims=True)
     sc = emb.sparkSession.sparkContext
     b_qids, b_qm = sc.broadcast(q_ids), sc.broadcast(qm)
 
@@ -270,7 +271,8 @@ def cosine_topk_numpy(
             if len(ids) == 0:
                 continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore"):  # zero-norm row → NaN cos
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
             cos = m @ b_qm.value.T  # (batch, nq)
             qids, nq = b_qids.value, len(b_qids.value)
             out_q, out_v, out_c = [], [], []
@@ -284,13 +286,21 @@ def cosine_topk_numpy(
                 kk = min(k, len(iv))
                 if kk == 0:
                     continue
+                # Zero-norm operands make cos NaN here. The Column path
+                # defines that cos as NULL (try_divide — ANSI Spark would
+                # otherwise THROW on 0/0) and its DESC window ranks NULLs
+                # LAST; Arrow maps the NaN emitted below back to NULL, so
+                # ranking on a NaN→-inf key keeps the kernel's per-batch
+                # cut exact vs the global window on degenerate inputs
+                # (parity pinned in test_numpy_topk_zero_norm).
+                key = np.where(np.isnan(cv), -np.inf, cv)
                 if len(iv) > kk:
-                    part = np.argpartition(-cv, kk - 1)[:kk]
-                    thresh = cv[part].min()
-                    cand = np.flatnonzero(cv >= thresh)
+                    part = np.argpartition(-key, kk - 1)[:kk]
+                    thresh = key[part].min()
+                    cand = np.flatnonzero(key >= thresh)
                 else:
                     cand = np.arange(len(iv))
-                sel = cand[np.lexsort((iv[cand], -cv[cand]))[:kk]]
+                sel = cand[np.lexsort((iv[cand], -key[cand]))[:kk]]
                 out_q.append(np.full(len(sel), qids[j], dtype=np.int64))
                 out_v.append(iv[sel])
                 out_c.append(cv[sel])
@@ -380,9 +390,9 @@ def ivf_assign(
             "embedding",
             "v_nrm",
             "cid",
-            (
-                dot_fold(F.col("embedding"), F.col("cemb"))
-                / (F.col("v_nrm") * F.col("c_nrm"))
+            F.try_divide(
+                dot_fold(F.col("embedding"), F.col("cemb")),
+                F.col("v_nrm") * F.col("c_nrm"),
             ).alias("ccos"),
         )
     )
@@ -437,9 +447,9 @@ def ivf_topk(
             "q_emb",
             "q_nrm",
             "cid",
-            (
-                dot_fold(F.col("q_emb"), F.col("cemb"))
-                / (F.col("q_nrm") * F.col("c_nrm"))
+            F.try_divide(
+                dot_fold(F.col("q_emb"), F.col("cemb")),
+                F.col("q_nrm") * F.col("c_nrm"),
             ).alias("ccos"),
         )
     )
@@ -455,9 +465,9 @@ def ivf_topk(
     ).where(F.col("q_id") != F.col("vec_id")).select(
         "q_id",
         "vec_id",
-        (
-            dot_fold(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.col("v_nrm"))
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("embedding")),
+            F.col("q_nrm") * F.col("v_nrm"),
         ).alias("cos"),
     )
     return _topk(scored, k)
@@ -634,8 +644,10 @@ def semantic_dedup(
             & (F.col("x.vec_id") > F.col("y.vec_id")),
         )
         .where(
-            dot_fold(F.col("x.embedding"), F.col("y.embedding"))
-            / (F.col("x.v_nrm") * F.col("y.v_nrm"))
+            F.try_divide(
+                dot_fold(F.col("x.embedding"), F.col("y.embedding")),
+                F.col("x.v_nrm") * F.col("y.v_nrm"),
+            )
             >= F.lit(threshold)
         )
         .select(F.col("x.vec_id").alias("vec_id"))

@@ -16,6 +16,25 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _default_driver_memory(cpus: int) -> str:
+    """Heap default keyed on BOTH concurrency and host memory.
+
+    16g only where ≥16 local task slots will share the heap AND the
+    host can spare it; otherwise 8g, further halved against hosts
+    smaller than 16 GiB so Python workers + page cache keep headroom.
+    `SPARK_DRIVER_MEMORY` overrides unconditionally."""
+    want_gb = 16 if cpus >= 16 else 8
+    try:
+        with open("/proc/meminfo") as fh:
+            total_kb = int(
+                next(ln for ln in fh if ln.startswith("MemTotal")).split()[1]
+            )
+        want_gb = max(2, min(want_gb, (total_kb >> 20) // 2))
+    except Exception:
+        pass
+    return f"{want_gb}g"
+
+
 def get_spark(
     app_name: str = "transcript-cdc-engine",
     cpus: int | None = None,
@@ -58,11 +77,14 @@ def get_spark(
         # heap scales with local concurrency: 32 tasks sharing 8 GiB
         # (~250 MB/task) OOMed the sf10 dedup stages, while 16 GiB
         # completes reliably; 64 GiB measured WORSE (page-zeroing/GC).
-        # 8 GiB stays the default for the ≤8-core test/scaling shapes.
+        # 8 GiB stays the default for the ≤8-core test/scaling shapes,
+        # and the wish is capped at half the HOST's memory — a
+        # many-core/small-RAM container must not fail JVM startup just
+        # because it advertises 32 vCPUs.
         .config(
             "spark.driver.memory",
             os.environ.get(
-                "SPARK_DRIVER_MEMORY", "16g" if cpus >= 16 else "8g"
+                "SPARK_DRIVER_MEMORY", _default_driver_memory(cpus)
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -247,6 +247,33 @@ def test_numpy_topk_ranks_match_exact_fold(spark):
     assert fast == exact and len(fast) > 0
 
 
+def test_numpy_topk_zero_norm(spark):
+    """Zero-norm vectors: the Column path's try_divide yields NULL cos
+    (ANSI Spark would THROW on the old 0/0 form — a single degenerate
+    embedding killed the whole job) and DESC ranks NULLs LAST, matching
+    DuckDB's div-by-zero→NULL. The numpy kernel must agree, both when
+    the degenerate row is in the corpus (never out-ranks finite cos) and
+    when it is the query itself (all-NULL column → ties break on
+    vec_id)."""
+    rows = [
+        (i, [0.0] * 4 if i in (1, 5) else [float(i + j + 1) for j in range(4)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kw = dict(k=3, every=1, q_cap=2)  # queries: vec_id 0 and the zero-norm 1
+    exact = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in similarity.cosine_topk(df, **kw).collect()
+    }
+    fast = {
+        (r.q_id, r.vec_id, r.rank)
+        for r in similarity.cosine_topk_numpy(df, **kw).collect()
+    }
+    assert fast == exact and len(fast) == 6
+    # finite cos always beats undefined: no zero-norm row in q=0's top-3
+    assert not any(q == 0 and v in (1, 5) for q, v, _ in fast)
+
+
 def test_rolling_fingerprint_detects_any_edit(spark):
     """Polynomial rolling hash changes under any single-char edit
     (position-sensitive, unlike bag-of-words fingerprints)."""

@@ -206,7 +206,15 @@ def upscale(outdir: str, factor: int, stream: bool | None = None) -> None:
 def main() -> None:
     outroot = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/benchdata"
     sizes = {"sf1": 10, "sf10": 100, "sf100": 1000}
-    wanted = [a for a in sys.argv[2:] if a in sizes] or ["sf1", "sf10"]
+    unknown = [a for a in sys.argv[2:] if a not in sizes]
+    if unknown:
+        # fail LOUDLY: a typo'd size silently falling back to the
+        # default set would build the wrong datasets after minutes of
+        # work (same convention as bench.py's unknown-name assert)
+        raise SystemExit(
+            f"unknown size args {unknown}; choose from {sorted(sizes)}"
+        )
+    wanted = sys.argv[2:] or ["sf1", "sf10"]
     for sf in wanted:
         upscale(os.path.join(outroot, sf), sizes[sf])
 
