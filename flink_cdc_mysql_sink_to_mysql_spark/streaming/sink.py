@@ -61,6 +61,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import tempfile
 import time
 from dataclasses import dataclass
@@ -70,6 +72,11 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_manifest.json"
 LINEAGE = "_lineage.jsonl"
+
+# every commit writes one version directory: v{version}-{tag} where tag
+# is the merge epoch id or "compact"; vacuum only ever touches names
+# matching this (the manifest/lineage files never do)
+_VERDIR_RE = re.compile(r"^v\d+-")
 
 
 def ord_expr():
@@ -280,6 +287,164 @@ class MergeParquetSink:
         with open(os.path.join(self.root, LINEAGE), "a") as f:
             f.write(json.dumps(lineage) + "\n")
         return lineage
+
+    # -- maintenance ---------------------------------------------------------
+    def vacuum(self, dry_run: bool = False) -> dict:
+        """Delete version directories the current manifest no longer
+        references (Iceberg's expire_snapshots/remove_orphan_files analog
+        — the copy-on-write MERGE leaves every superseded bucket rewrite
+        on disk forever otherwise, unbounded growth on a long stream).
+
+        Unreferenced covers both superseded commits AND torn commits
+        (crash between the parquet write and the manifest swap — the
+        manifest never pointed at them, cf. test_torn_commit_recovers).
+
+        Single-writer contract: call between micro-batches (foreachBatch
+        is serial per query) or offline — never concurrently with an
+        in-flight merge/compact, whose new version dir is unreferenced
+        until its manifest swap lands. Readers holding a pre-vacuum
+        DataFrame may lose files under them (same trade Iceberg's
+        expire_snapshots makes); re-read after vacuuming.
+        """
+        manifest = self._load_manifest()
+        live = {rel.split("/", 1)[0] for rel in manifest["buckets"].values()}
+        removed, reclaimed = [], 0
+        try:
+            names = sorted(os.listdir(self.root))
+        except FileNotFoundError:
+            names = []
+        for name in names:
+            path = os.path.join(self.root, name)
+            if not _VERDIR_RE.match(name) or name in live:
+                continue
+            if not os.path.isdir(path):
+                continue
+            for dirpath, _dirs, files in os.walk(path):
+                reclaimed += sum(
+                    os.path.getsize(os.path.join(dirpath, f)) for f in files
+                )
+            removed.append(name)
+            if not dry_run:
+                shutil.rmtree(path)
+        out = {
+            "removed_dirs": removed,
+            "reclaimed_bytes": int(reclaimed),
+            "live_dirs": len(live),
+            "dry_run": bool(dry_run),
+        }
+        if not dry_run and removed:
+            with open(os.path.join(self.root, LINEAGE), "a") as f:
+                f.write(json.dumps({"vacuum": out}) + "\n")
+        return out
+
+    def compact(
+        self,
+        spark: SparkSession,
+        prune_tombstones_below_seq: int | None = None,
+        new_n_buckets: int | None = None,
+    ) -> dict:
+        """Rewrite the whole table into one fresh version directory
+        (Iceberg's rewrite_data_files analog). A steady trickle stream
+        scatters the live buckets across one version dir per epoch that
+        last touched each; compaction folds them into a single dir and
+        lets :meth:`vacuum` reclaim everything older.
+
+        ``prune_tombstones_below_seq``: additionally drop op='d'
+        tombstone ROWS with ``seq`` strictly below the given horizon.
+        Tombstones exist to outrank out-of-order replays of older
+        writes (lww_winners docstring); pruning one is safe ONLY when
+        the source can no longer replay envelopes below that seq (e.g.
+        binlog/spool retention already dropped them). The caller owns
+        that guarantee — pass None (default) to keep exactly-once
+        robustness unconditional.
+
+        ``new_n_buckets``: re-bucket the table to a new base. n_buckets
+        is table-owned and normally immutable (resume guard above), but
+        a growing table eventually violates the sizing rule in the
+        module docstring (bucket_bytes = table/n_buckets keeps rising
+        ⇒ trickle commits keep rewriting more bytes). A full rewrite is
+        the one safe moment to change the base: every row is re-hashed
+        and the manifest swaps atomically to the new layout, so the
+        exactly-once invariant (delta under base B always reloads the
+        bucket holding any stale copy) holds again immediately.
+
+        Same single-writer contract as :meth:`vacuum`. Epoch bookkeeping
+        is untouched: replays of already-committed epochs stay no-ops.
+        """
+        t0 = time.time()
+        manifest = self._load_manifest()
+        if not manifest["buckets"]:
+            return {"compacted": False, "reason": "empty table"}
+        table = self._read_paths(spark, list(manifest["buckets"].values()))
+        if prune_tombstones_below_seq is not None:
+            table = table.where(
+                (F.col("op") != "d")
+                | (F.col("seq") >= F.lit(int(prune_tombstones_below_seq)))
+            )
+        if new_n_buckets is not None:
+            self.n_buckets = int(new_n_buckets)
+            manifest["n_buckets"] = self.n_buckets
+            table = table.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast(
+                    "int"
+                ),
+            )
+        new_version = manifest["version"] + 1
+        verdir = f"v{new_version}-compact"
+        # repartition on the stored bucket column → all rows of a bucket
+        # land in one task → exactly one file per pb= dir
+        (
+            table.withColumn("pb", F.col("bucket"))
+            .repartition("pb")
+            .write.partitionBy("pb")
+            .mode("overwrite")
+            .parquet(os.path.join(self.root, verdir))
+        )
+        written = {
+            name.split("=", 1)[1]
+            for name in os.listdir(os.path.join(self.root, verdir))
+            if name.startswith("pb=")
+        }
+        # a bucket whose rows were ALL pruned tombstones writes no dir —
+        # it leaves the manifest entirely (reads skip it; a future delta
+        # for it is a plain insert)
+        manifest["buckets"] = {
+            b: f"{verdir}/pb={b}" for b in sorted(written, key=int)
+        }
+        manifest["version"] = new_version
+        self._commit_manifest(manifest)
+        out = {
+            "compacted": True,
+            "version": new_version,
+            "buckets": len(written),
+            "n_buckets": self.n_buckets,
+            "pruned_below_seq": prune_tombstones_below_seq,
+            "wall_s": round(time.time() - t0, 3),
+        }
+        with open(os.path.join(self.root, LINEAGE), "a") as f:
+            f.write(json.dumps({"compact": out}) + "\n")
+        return out
+
+    def file_stats(self) -> dict:
+        """Referenced file count/bytes per the current manifest — the
+        compaction trigger signal (files ≫ buckets ⇒ fragmented)."""
+        manifest = self._load_manifest()
+        n_files = total = 0
+        for rel in manifest["buckets"].values():
+            d = os.path.join(self.root, rel)
+            if not os.path.isdir(d):
+                continue
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    n_files += 1
+                    total += os.path.getsize(os.path.join(d, f))
+        return {
+            "referenced_files": n_files,
+            "referenced_bytes": int(total),
+            "buckets": len(manifest["buckets"]),
+            "version": manifest["version"],
+        }
 
     # -- materialized view -------------------------------------------------
     def snapshot(self, spark: SparkSession) -> DataFrame:

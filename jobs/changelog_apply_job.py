@@ -62,6 +62,19 @@ def main() -> None:
         action="store_true",
         help="also stream the Mongo-dialect feed and union (U1)",
     )
+    ap.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="after the stream drains, delete sink version dirs the "
+        "manifest no longer references (safe here: foreachBatch has "
+        "finished, so the single-writer contract holds)",
+    )
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after the stream drains, fold the sink into one version "
+        "dir (pair with --vacuum to reclaim the superseded dirs)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("changelog-apply").getOrCreate()
@@ -132,6 +145,16 @@ def main() -> None:
         spark, spool, sink, ckpt, lineage_path=lineage, mongo_spool_dir=mongo_spool
     )
 
+    maintenance = {}
+    if args.compact:
+        maintenance["compact"] = sink.compact(spark)
+    if args.vacuum:
+        v = sink.vacuum()
+        maintenance["vacuum"] = {
+            "removed_dirs": len(v["removed_dirs"]),
+            "reclaimed_bytes": v["reclaimed_bytes"],
+        }
+
     snap = sink.snapshot(spark)
     n = snap.count()
     batches = _lineage_lines(lineage) - prior
@@ -142,6 +165,7 @@ def main() -> None:
                 "microbatches_this_run": batches,
                 "sink": sink.root,
                 "checkpoint": ckpt,
+                **maintenance,
             }
         )
     )
