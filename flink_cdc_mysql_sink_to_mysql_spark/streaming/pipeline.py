@@ -209,6 +209,94 @@ def materialize_stream(
     return sink
 
 
+def json_envelope_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Wire-format streaming source: JSON-line files → parsed envelopes
+    with ``_quarantine_reason`` (sources/json_envelopes.py front door).
+
+    This is the production shape — a Kafka topic of Debezium JSON is
+    ``readStream.format("kafka")`` + the same ``parse_envelope_lines``
+    over ``CAST(value AS STRING)``; the text spool keeps the identical
+    plan in-sandbox."""
+    from ..sources.json_envelopes import parse_envelope_lines
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return parse_envelope_lines(reader.text(spool_dir))
+
+
+def materialize_stream_from_json(
+    spark: SparkSession,
+    spool_dir: str,
+    sink,
+    checkpoint_dir: str,
+    dlq_dir: str,
+    max_files_per_trigger: int | None = 1,
+    lineage_path: str | None = None,
+):
+    """materialize_stream, but fed from the wire format with a DLQ.
+
+    Per micro-batch: parse → split → (a) rejects land in
+    ``dlq_dir/epoch=<id>/`` (mode=overwrite keyed by epoch, so a
+    foreachBatch replay after a crash rewrites — never duplicates — the
+    epoch's rejects: DLQ appends stay exactly-once alongside the MERGE's
+    epoch-skip), (b) good rows MERGE into the sink. The observed metrics
+    count rejects per micro-batch, so lineage records how much of the
+    feed was quarantined — the reference swallows these without a trace
+    (UserBehaviorDebeziumDeserializer.java:72-74).
+    """
+    parsed = json_envelope_stream(spark, spool_dir, max_files_per_trigger)
+    parsed = parsed.observe(
+        "engine",
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.col("_quarantine_reason")).alias("quarantined"),
+    )
+
+    def _merge_with_dlq(df: DataFrame, epoch_id: int) -> None:
+        from ..sources.json_envelopes import split_quarantine
+
+        df = df.persist()
+        try:
+            good, bad = split_quarantine(df)
+            bad.write.mode("overwrite").parquet(
+                os.path.join(dlq_dir, f"epoch={epoch_id}")
+            )
+            sink.merge_changelog(good, epoch_id)
+        finally:
+            df.unpersist()
+
+    listener = None
+    if lineage_path:
+        listener = LineageListener(lineage_path)
+        spark.streams.addListener(listener)
+    try:
+        q = (
+            parsed.writeStream.foreachBatch(_merge_with_dlq)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if listener is not None:
+            spark.streams.removeListener(listener)
+    return sink
+
+
+def read_dlq(spark: SparkSession, dlq_dir: str) -> DataFrame:
+    """All quarantined rows across epochs (raw line + reason + epoch —
+    the epoch comes from the partition directory name)."""
+    return (
+        spark.read.option("basePath", dlq_dir)
+        .schema("_raw string, reason string, epoch long")
+        .parquet(os.path.join(dlq_dir, "epoch=*"))
+    )
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     spool_dir: str,
