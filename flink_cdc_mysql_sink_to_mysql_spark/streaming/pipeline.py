@@ -209,6 +209,46 @@ def materialize_stream(
     return sink
 
 
+#: reserved epoch id for the batch bootstrap commit — streaming epochs
+#: count up from 0, so -1 can never collide with a microbatch.
+BOOTSTRAP_EPOCH = -1
+
+
+def bootstrap_then_tail(
+    spark: SparkSession,
+    snapshot_envelopes: DataFrame,
+    spool_dir: str,
+    sink,
+    checkpoint_dir: str,
+    **stream_kwargs,
+) -> dict:
+    """Snapshot-then-tail start: the reference connector's two-phase
+    read (MySqlSource snapshots the tables, then tails the binlog —
+    UserBehaviorClickHouseSinkJob.java:39-48; snapshot rows arrive as
+    op='r') expressed as one BATCH MERGE followed by the stream.
+
+    Phase 1 commits the whole snapshot image in ONE merge under the
+    reserved :data:`BOOTSTRAP_EPOCH`. That is the at-scale point: the
+    sink is copy-on-write per touched bucket, so trickling an initial
+    load through microbatches rewrites every bucket once per batch —
+    O(table × batches) bytes — while the batch bootstrap writes each
+    bucket exactly once. Phase 2 streams the changelog tail as usual.
+
+    Correctness needs NO coordination between the phases: envelopes the
+    tail re-delivers from before the snapshot point (connector overlap)
+    lose to the snapshot rows — or win, if genuinely newer — purely by
+    the ord = (seq, op-rank) LWW guard, and a crash between the phases
+    is resume-safe because re-running the bootstrap is an epoch-replay
+    no-op (the manifest already holds BOOTSTRAP_EPOCH).
+
+    Returns the bootstrap commit's lineage dict (``skipped=True`` on a
+    resume).
+    """
+    info = sink.merge_changelog(snapshot_envelopes, BOOTSTRAP_EPOCH)
+    materialize_stream(spark, spool_dir, sink, checkpoint_dir, **stream_kwargs)
+    return info
+
+
 def json_envelope_stream(
     spark: SparkSession,
     spool_dir: str,

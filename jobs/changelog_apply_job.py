@@ -63,6 +63,16 @@ def main() -> None:
         help="also stream the Mongo-dialect feed and union (U1)",
     )
     ap.add_argument(
+        "--bootstrap",
+        action="store_true",
+        help="two-phase start (the CDC connector's snapshot-then-binlog "
+        "shape): apply the op='r' snapshot image as ONE batch MERGE "
+        "commit, then stream only the changelog tail — the initial "
+        "load writes each sink bucket once instead of once per "
+        "microbatch; overlap/resume safety comes from the ord-guarded "
+        "LWW MERGE (streaming/pipeline.py:bootstrap_then_tail)",
+    )
+    ap.add_argument(
         "--vacuum",
         action="store_true",
         help="after the stream drains, delete sink version dirs the "
@@ -92,10 +102,16 @@ def main() -> None:
     # an obscure "number of streaming sources changed" — fail fast with
     # a clear message instead.
     topo_path = os.path.join(args.workdir, "topology.json")
-    topo = {"with_mongo": bool(args.with_mongo), "chunks": args.chunks}
+    topo = {
+        "with_mongo": bool(args.with_mongo),
+        "chunks": args.chunks,
+        "bootstrap": bool(args.bootstrap),
+    }
     if os.path.exists(topo_path):
         with open(topo_path) as f:
             prior_topo = json.load(f)
+        # workdirs created before the flag existed ran without bootstrap
+        prior_topo.setdefault("bootstrap", False)
         if prior_topo != topo:
             raise SystemExit(
                 f"workdir {args.workdir} was created with {prior_topo}; "
@@ -123,7 +139,18 @@ def main() -> None:
         with open(marker, "w") as f:
             json.dump({"chunks": len(paths)}, f)
 
-    _spool_once(mysql_changelog, spool)
+    if args.bootstrap:
+        # tail spool excludes the snapshot image — it arrives via the
+        # one-commit batch bootstrap below (overlap would also be fine:
+        # the MERGE's LWW ord guard reconciles re-delivered envelopes)
+        def _tail_feed(s, d):
+            from pyspark.sql import functions as F
+
+            return mysql_changelog(s, d).where(F.col("op") != "r")
+
+        _spool_once(_tail_feed, spool)
+    else:
+        _spool_once(mysql_changelog, spool)
     mongo_spool = None
     if args.with_mongo:
         mongo_spool = os.path.join(args.workdir, "spool_mongo")
@@ -141,9 +168,31 @@ def main() -> None:
 
     lineage = os.path.join(args.workdir, "lineage.jsonl")
     prior = _lineage_lines(lineage)
-    pl.materialize_stream(
-        spark, spool, sink, ckpt, lineage_path=lineage, mongo_spool_dir=mongo_spool
-    )
+    bootstrap_info = None
+    if args.bootstrap:
+        from pyspark.sql import functions as F
+
+        snapshot_env = mysql_changelog(spark, args.sf_dir).where(
+            F.col("op") == "r"
+        )
+        bootstrap_info = pl.bootstrap_then_tail(
+            spark,
+            snapshot_env,
+            spool,
+            sink,
+            ckpt,
+            lineage_path=lineage,
+            mongo_spool_dir=mongo_spool,
+        )
+    else:
+        pl.materialize_stream(
+            spark,
+            spool,
+            sink,
+            ckpt,
+            lineage_path=lineage,
+            mongo_spool_dir=mongo_spool,
+        )
 
     maintenance = {}
     if args.compact:
@@ -165,6 +214,7 @@ def main() -> None:
                 "microbatches_this_run": batches,
                 "sink": sink.root,
                 "checkpoint": ckpt,
+                **({"bootstrap": bootstrap_info} if bootstrap_info else {}),
                 **maintenance,
             }
         )
