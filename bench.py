@@ -356,6 +356,137 @@ def run_spooled(sf_dir: str, cpus: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_json_ingest(sf_dir: str, cpus: int) -> dict:
+    """Wire-format (JSON-lines) ingest cost — the production Kafka shape.
+
+    Renders the dual-dialect changelog to JSON text ONCE (timed
+    separately), then times the front door over the spool: parse-only
+    (from_json + quarantine reasons), parse→derive (turn events), and
+    parse→LWW materialization. Reported lines/s is the parse-only
+    number — the marginal cost of arriving as bytes instead of as typed
+    columns (sources/json_envelopes.py; round-trip parity is pinned by
+    tests/test_json_front_door.py).
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+        parse_envelope_lines,
+        render_envelope_json,
+        split_quarantine,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+        mysql_changelog,
+    )
+
+    spark = get_spark(app_name="bench-json", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="json-spool-")
+    try:
+        t0 = time.perf_counter()
+        render_envelope_json(mysql_changelog(spark, sf_dir)).write.mode(
+            "overwrite"
+        ).text(root)
+        spool_s = round(time.perf_counter() - t0, 3)
+        raw = spark.read.text(root)
+        n_lines = raw.count()
+
+        def _good():
+            good, _ = split_quarantine(parse_envelope_lines(raw))
+            return good
+
+        targets = {
+            "parse_only": lambda: parse_envelope_lines(raw),
+            "parse_derive": lambda: cdc.derive_turn_events(_good()),
+            "parse_apply_lww": lambda: cdc.apply_changelog(_good()).select(
+                "conv_id", "turn_idx", "role", "text", "tool",
+                F.unix_millis("ts").alias("ts_ms"),
+            ),
+        }
+        targets["parse_only"]().limit(1).count()  # warm-up
+        reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+        times: dict[str, float] = {}
+        for _ in range(reps):
+            for name, fn in targets.items():
+                t0 = time.perf_counter()
+                _force(fn())
+                wall = round(time.perf_counter() - t0, 3)
+                if name not in times or wall < times[name]:
+                    times[name] = wall
+        return {
+            "metric": "json_ingest_lines_per_sec",
+            "value": round(n_lines / times["parse_only"]),
+            "unit": "lines/sec",
+            "lines": n_lines,
+            "spool_seconds": spool_s,
+            "queries": times,
+            "cpus": cpus,
+            "reps": reps,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def run_bootstrap_compare(
+    cpus: int = 8, n_turns: int = 2_000_000, n_chunks: int = 8
+) -> dict:
+    """Initial-load cost: one-commit batch bootstrap vs the SAME
+    envelopes trickled through the streaming MERGE in ``n_chunks``
+    micro-batches (pipeline.bootstrap_then_tail rationale: the sink is
+    copy-on-write per touched bucket, so a microbatched initial load
+    rewrites buckets once per batch)."""
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+    spark = get_spark(app_name="bench-bootstrap", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="bootstrap-bench-")
+    try:
+        env = synth_envelopes(spark, n_turns).cache()
+        n_env = env.count()
+
+        sink_b = MergeParquetSink(os.path.join(root, "t1"), n_buckets=64)
+        t0 = time.perf_counter()
+        sink_b.merge_changelog(env, pl.BOOTSTRAP_EPOCH)
+        bootstrap_s = round(time.perf_counter() - t0, 3)
+
+        spool = os.path.join(root, "spool")
+        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+        sink_s = MergeParquetSink(os.path.join(root, "t2"), n_buckets=64)
+        t0 = time.perf_counter()
+        pl.materialize_stream(
+            spark,
+            spool,
+            sink_s,
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        stream_s = round(time.perf_counter() - t0, 3)
+        rows_b = sink_b.snapshot(spark).count()
+        rows_s = sink_s.snapshot(spark).count()
+        env.unpersist()
+        assert rows_b == rows_s, (rows_b, rows_s)
+        return {
+            "metric": "bootstrap_vs_trickle_initial_load",
+            "envelopes": n_env,
+            "final_rows": rows_b,
+            "bootstrap_one_commit_s": bootstrap_s,
+            "trickle_microbatched_s": stream_s,
+            "microbatches": n_chunks,
+            "speedup": round(stream_s / bootstrap_s, 2),
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -368,6 +499,16 @@ def main() -> None:
 
     if "--streaming-replay" in sys.argv:
         print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
+        return
+
+    if "--json-ingest" in sys.argv:
+        out = run_json_ingest(sf_dir, cpus)
+        out["sf"] = sf
+        print(json.dumps(out))
+        return
+
+    if "--bootstrap-compare" in sys.argv:
+        print(json.dumps(run_bootstrap_compare(cpus=min(cpus, 8))))
         return
 
     if "--spooled" in sys.argv:

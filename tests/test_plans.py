@@ -212,3 +212,27 @@ def test_substring_containment_joins_on_anchor_keys(spark):
     plan = _plan_of(spark, eq.q_dedup_substring(spark, SF_CORRECT))
     for bad in ("BroadcastNestedLoop", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_json_front_door_parses_once(spark):
+    """The wire-format parse must evaluate from_json exactly ONCE per
+    line. Catalyst's per-field JSON schema pruning otherwise clones the
+    parse per consumed field (6x tokenization of every line — measured
+    ~3x slower ingest at sf10); the Generate barrier in
+    parse_envelope_lines pins it to one full parse and no shuffle."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+        parse_envelope_lines,
+        split_quarantine,
+    )
+
+    raw = spark.createDataFrame([("x",)], "value string")
+    good, _ = split_quarantine(parse_envelope_lines(raw))
+    optimized = (
+        cdc.derive_turn_events(good)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert optimized.count("from_json") == 1
+    assert "Exchange" not in optimized
