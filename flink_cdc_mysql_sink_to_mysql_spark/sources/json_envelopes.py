@@ -156,6 +156,82 @@ def quarantine_stats(parsed: DataFrame) -> DataFrame:
     )
 
 
+#: keys the fixed parse schema knows, per scope — anything else on the
+#: wire is upstream schema drift that from_json would silently ignore
+KNOWN_KEYS = {
+    "envelope": set(ENVELOPE_COLS),
+    "before": {"conv_id", "turn_idx", "role", "text", "tool", "ts"},
+    "after": {"conv_id", "turn_idx", "role", "text", "tool", "ts"},
+    "source": {"db", "table"},
+}
+
+
+def schema_drift_stats(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Unknown-key census over a wire feed: (scope, key, n) for every
+    JSON key present on the wire but absent from the parse schema.
+
+    ``from_json`` with a fixed schema IGNORES unknown keys, so upstream
+    schema evolution (Debezium picking up an added table column, a new
+    envelope field like ``transaction``) is silently dropped by the
+    front door. This diagnostic makes drift visible so the operator
+    knows when to evolve :data:`ENVELOPE_DDL` — run it on a sample or a
+    recent window, not the hot path (it re-tokenizes each line once per
+    nested scope). Malformed lines yield NULL key arrays and drop out —
+    they are the quarantine's business, not drift.
+
+    All Column expressions (json_object_keys / get_json_object), one
+    explode per scope, one hash aggregate — distributable as-is.
+    """
+    scopes = {
+        "envelope": F.json_object_keys(F.col(value_col)),
+        "before": F.json_object_keys(
+            F.get_json_object(F.col(value_col), "$.before")
+        ),
+        "after": F.json_object_keys(
+            F.get_json_object(F.col(value_col), "$.after")
+        ),
+        "source": F.json_object_keys(
+            F.get_json_object(F.col(value_col), "$.source")
+        ),
+    }
+    # ONE scan: per-scope key arrays → (scope, key) structs → one
+    # flatten + explode (a 4-way union would re-read every line 4×).
+    # The closure must stay single-arg: a 2-arg lambda is transform's
+    # (element, index) form and the index would shadow the scope.
+    def _tagger(scope: str):
+        return lambda k: F.struct(F.lit(scope).alias("scope"), k.alias("key"))
+
+    pairs = F.flatten(
+        F.array(
+            *[
+                F.transform(
+                    F.coalesce(keys, F.array().cast("array<string>")),
+                    _tagger(scope),
+                )
+                for scope, keys in scopes.items()
+            ]
+        )
+    )
+    allkeys = raw.select(F.explode(pairs).alias("p")).select("p.*")
+    known = F.create_map(
+        *[
+            x
+            for scope, keys in sorted(KNOWN_KEYS.items())
+            for key in sorted(keys)
+            for x in (F.lit(f"{scope}\x00{key}"), F.lit(1))
+        ]
+    )
+    return (
+        allkeys.where(
+            F.element_at(
+                known, F.concat_ws("\x00", F.col("scope"), F.col("key"))
+            ).isNull()
+        )
+        .groupBy("scope", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mongo-oplog dialect (the second wire format — D7,
 # UserReviewBehaviorDebeziumDeserializer.java:32-42)

@@ -211,6 +211,34 @@ def test_mongo_quarantine_reasons(spark):
     assert by_raw[""] == "empty_input"
 
 
+def test_schema_drift_detector(spark):
+    """Unknown wire keys (upstream schema evolution from_json silently
+    ignores) must be surfaced per scope with counts; a clean feed and
+    malformed lines report nothing."""
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+        schema_drift_stats,
+    )
+
+    drifted = [
+        # new envelope-level field + new column inside after
+        '{"op":"c","transaction":{"id":1},"after":{"conv_id":"a","turn_idx":1,"new_col":5}}',
+        '{"op":"u","after":{"conv_id":"b","new_col":6},"before":{"conv_id":"b","legacy":1}}',
+        GOOD_LINE,          # fully known → contributes nothing
+        "not json at all {",  # malformed → quarantine's business
+    ]
+    got = {
+        (r["scope"], r["key"]): r["n"]
+        for r in schema_drift_stats(_lines_df(spark, drifted)).collect()
+    }
+    assert got == {
+        ("envelope", "transaction"): 1,
+        ("after", "new_col"): 2,
+        ("before", "legacy"): 1,
+    }
+    clean = render_envelope_json(src.mysql_changelog(spark, SF_SMOKE))
+    assert schema_drift_stats(clean).count() == 0
+
+
 def test_empty_file_line_semantics(spark):
     """A blank line inside a spool file is quarantined (empty_input),
     never silently skipped — counts stay conserved for audit."""
