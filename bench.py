@@ -356,6 +356,82 @@ def run_spooled(sf_dir: str, cpus: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_json_replay(
+    cpus: int = 8,
+    n_turns: int = 2_240_000,
+    n_chunks: int = 8,
+    files_per_trigger: int = 2,
+) -> dict:
+    """End-to-end exactly-once streaming replay FROM THE WIRE FORMAT:
+    JSON-line spool → parse front door (quarantine split + DLQ write)
+    → foreachBatch MERGE. Same shape/size as --streaming-replay, so
+    the delta between the two numbers is the full cost of arriving as
+    bytes (parse + reason ladder + DLQ bookkeeping) at streaming
+    batch sizes."""
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+        render_envelope_json,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+    spark = get_spark(app_name="bench-json-replay", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="json-replay-")
+    try:
+        env = synth_envelopes(spark, n_turns)
+        n_env = env.count()
+        spool = os.path.join(root, "spool")
+        # seq-ordered text chunks (the JSON twin of spool_changelog)
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        df = env.withColumn(
+            "_chunk", F.ntile(n_chunks).over(Window.orderBy("seq"))
+        )
+        for i in range(1, n_chunks + 1):
+            render_envelope_json(
+                df.where(F.col("_chunk") == i).drop("_chunk")
+            ).coalesce(1).write.mode("overwrite").text(
+                os.path.join(spool, f"c{i:03d}")
+            )
+        # flatten: the text stream source reads files, not dirs
+        import glob
+
+        for i in range(1, n_chunks + 1):
+            part = glob.glob(os.path.join(spool, f"c{i:03d}", "part-*.txt"))[0]
+            os.replace(part, os.path.join(spool, f"chunk-{i:03d}.json"))
+            shutil.rmtree(os.path.join(spool, f"c{i:03d}"))
+
+        sink = MergeParquetSink(os.path.join(root, "table"))
+        t0 = time.perf_counter()
+        pl.materialize_stream_from_json(
+            spark,
+            spool,
+            sink,
+            os.path.join(root, "ckpt"),
+            dlq_dir=os.path.join(root, "dlq"),
+            max_files_per_trigger=files_per_trigger,
+        )
+        wall = time.perf_counter() - t0
+        rows = sink.snapshot(spark).count()
+        return {
+            "metric": "json_streaming_replay_envelopes_per_sec",
+            "value": round(n_env / wall),
+            "unit": "envelopes/sec",
+            "envelopes": n_env,
+            "wall_s": round(wall, 2),
+            "final_rows": rows,
+            "microbatches": n_chunks // files_per_trigger,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_json_ingest(sf_dir: str, cpus: int) -> dict:
     """Wire-format (JSON-lines) ingest cost — the production Kafka shape.
 
@@ -499,6 +575,10 @@ def main() -> None:
 
     if "--streaming-replay" in sys.argv:
         print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
+        return
+
+    if "--json-replay" in sys.argv:
+        print(json.dumps(run_json_replay(cpus=min(cpus, 8))))
         return
 
     if "--json-ingest" in sys.argv:
