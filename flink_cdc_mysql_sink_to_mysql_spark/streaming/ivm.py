@@ -56,13 +56,21 @@ class GroupedReplaceParquetSink(MergeParquetSink):
     ``replace_groups(keys, rows, epoch)``: atomically replace ALL rows
     of the given keys with the given rows (callers pass rows only for
     those keys — a key with no rows is a full delete).
+
+    ``schema_ddl`` fixes the table's row type (reads of an empty /
+    partial table need it); the default is the tumbling-window view.
     """
 
-    #: window-aggregate schema (bucket stored, like the state sink)
-    _SCHEMA = (
+    #: row schema incl. the stored bucket column (field, not class
+    #: constant: the session view and future per-key views differ)
+    schema_ddl: str = (
         "conv_id string, win_start timestamp, win_end timestamp,"
         " n_turns long, bucket int"
     )
+
+    @property
+    def _SCHEMA(self) -> str:  # noqa: N802 (mirrors the parent constant)
+        return self.schema_ddl
 
     def replace_groups(
         self, keys: DataFrame, rows: DataFrame, epoch_id: int
@@ -151,23 +159,64 @@ def windowed_state_batch(envelopes: DataFrame, window: str = "10 minutes") -> Da
     )
 
 
-def windowed_state_stream(
+def _tumbling_rows(live: DataFrame, window: str) -> DataFrame:
+    return (
+        live.groupBy("conv_id", F.window("ts", window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_turns",
+        )
+    )
+
+
+def _session_rows(live: DataFrame, gap: str) -> DataFrame:
+    return (
+        live.groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.min("turn_idx").alias("first_turn"),
+            F.max("turn_idx").alias("last_turn"),
+        )
+        .select(
+            "conv_id",
+            F.col("sw.start").alias("sess_start"),
+            F.col("sw.end").alias("sess_end"),
+            "n_turns",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+SESSION_VIEW_DDL = (
+    "conv_id string, sess_start timestamp, sess_end timestamp,"
+    " n_turns long, first_turn int, last_turn int, bucket int"
+)
+
+
+def maintained_view_stream(
     spark: SparkSession,
     spool_dir: str,
     state_sink: MergeParquetSink,
-    window_sink: GroupedReplaceParquetSink,
+    view_sink: GroupedReplaceParquetSink,
     checkpoint_dir: str,
-    window: str = "10 minutes",
+    recompute,
     max_files_per_trigger: int | None = 1,
 ):
-    """Maintain state table + windowed view together, exactly-once.
+    """Maintain state table + a per-conversation derived view together,
+    exactly-once.
 
     Per micro-batch: MERGE the envelopes into ``state_sink``, then
-    recompute the touched conversations' window rows from the
-    post-merge state (bucket-pruned + broadcast-semi-joined to the
-    touched keys) and grouped-replace them in ``window_sink``. Both
-    commits are epoch-skipped, and the recompute reads only committed
-    state, so any crash/replay interleaving converges (module doc).
+    recompute the touched conversations' view rows from the post-merge
+    state (bucket-pruned + broadcast-semi-joined to the touched keys)
+    via ``recompute(live_turns) -> rows`` and grouped-replace them in
+    ``view_sink``. Both commits are epoch-skipped, and the recompute
+    reads only committed state, so any crash/replay interleaving
+    converges (module doc). ``recompute`` may be ANY per-conv-complete
+    aggregation — tumbling windows and turn-gap sessions ship below.
     """
     from .pipeline import envelope_stream
 
@@ -204,18 +253,8 @@ def windowed_state_stream(
                 if state is not None
                 else spark.createDataFrame([], state_sink._SCHEMA)
             )
-            aggs = (
-                live.join(F.broadcast(keys), "conv_id")
-                .groupBy("conv_id", F.window("ts", window).alias("win"))
-                .agg(F.count(F.lit(1)).alias("n_turns"))
-                .select(
-                    "conv_id",
-                    F.col("win.start").alias("win_start"),
-                    F.col("win.end").alias("win_end"),
-                    "n_turns",
-                )
-            )
-            window_sink.replace_groups(keys, aggs, epoch_id)
+            rows = recompute(live.join(F.broadcast(keys), "conv_id"))
+            view_sink.replace_groups(keys, rows, epoch_id)
             keys.unpersist()
         finally:
             df.unpersist()
@@ -227,4 +266,62 @@ def windowed_state_stream(
         .start()
     )
     q.awaitTermination()
-    return window_sink
+    return view_sink
+
+
+def windowed_state_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    state_sink: MergeParquetSink,
+    window_sink: GroupedReplaceParquetSink,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Tumbling-window view maintained under upserts/deletes."""
+    return maintained_view_stream(
+        spark,
+        spool_dir,
+        state_sink,
+        window_sink,
+        checkpoint_dir,
+        recompute=lambda live: _tumbling_rows(live, window),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def session_state_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    state_sink: MergeParquetSink,
+    session_sink: GroupedReplaceParquetSink,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Turn-gap sessionization maintained under upserts/deletes — the
+    view append-mode session windows cannot express: a DELETED middle
+    turn can SPLIT a session in two, and an update that moves a turn
+    into a gap can MERGE two sessions; recompute-from-state yields the
+    exact post-change sessions either way (tests/test_ivm.py).
+
+    Construct the sink with the session schema::
+
+        GroupedReplaceParquetSink(root, schema_ddl=SESSION_VIEW_DDL)
+    """
+    return maintained_view_stream(
+        spark,
+        spool_dir,
+        state_sink,
+        session_sink,
+        checkpoint_dir,
+        recompute=lambda live: _session_rows(live, gap),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def sessions_state_batch(envelopes: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin / oracle for :func:`session_state_stream`."""
+    from ..operators.cdc import apply_changelog
+
+    return _session_rows(apply_changelog(envelopes), gap)

@@ -20,7 +20,10 @@ from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
 )
 from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
 from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
+    SESSION_VIEW_DDL,
     GroupedReplaceParquetSink,
+    session_state_stream,
+    sessions_state_batch,
     windowed_state_batch,
     windowed_state_stream,
 )
@@ -144,6 +147,118 @@ def test_view_matches_duckdb_oracle(spark, tmp_path):
         """
     ).df()
     assert_same(_view_ms(view.read_view(spark)), oracle, "ivm vs duckdb")
+
+
+def _run_sessions(spark, env, tmp_path, n_chunks=3, gap="30 minutes"):
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=n_chunks)
+    state = MergeParquetSink(str(tmp_path / "state"), n_buckets=8)
+    view = GroupedReplaceParquetSink(
+        str(tmp_path / "view"), n_buckets=8, schema_ddl=SESSION_VIEW_DDL
+    )
+    session_state_stream(
+        spark, spool, state, view, str(tmp_path / "ckpt"), gap=gap
+    )
+    return state, view
+
+
+def _sess_ms(df):
+    return df.select(
+        "conv_id",
+        F.unix_millis("sess_start").alias("sess_start_ms"),
+        F.unix_millis("sess_end").alias("sess_end_ms"),
+        "n_turns",
+        "first_turn",
+        "last_turn",
+    )
+
+
+def test_session_view_splits_on_delete_and_merges_on_move(spark, tmp_path):
+    """A deleted bridging turn SPLITS one session into two; an update
+    moving a turn into a gap MERGES two sessions into one — neither is
+    expressible by an append-mode session window."""
+    s = ("db", "t")
+
+    def turn(conv, idx, minutes):
+        return (
+            conv, idx, "user", f"{conv}.{idx}", None,
+            T + dt.timedelta(minutes=minutes),
+        )
+
+    rows = [
+        # split: turns at 0 / 20 / 40 min (gap 30 → ONE session),
+        # then the bridging middle turn is deleted → TWO sessions
+        ("c", None, turn("sp", 1, 0), s, 1),
+        ("c", None, turn("sp", 2, 20), s, 1),
+        ("c", None, turn("sp", 3, 40), s, 1),
+        ("d", turn("sp", 2, 20), None, s, 2),
+        # merge: turns at 0 and 60 min (two sessions), then a third
+        # turn moves from 120 min into the gap at 30 → ONE session
+        ("c", None, turn("mg", 1, 0), s, 1),
+        ("c", None, turn("mg", 2, 60), s, 1),
+        ("c", None, turn("mg", 3, 120), s, 1),
+        ("u", turn("mg", 3, 120), turn("mg", 3, 30), s, 2),
+    ]
+    env = spark.createDataFrame(rows, ENVELOPE_DDL)
+    _, view = _run_sessions(spark, env, tmp_path, n_chunks=2)
+    got = {
+        (r["conv_id"], r["sess_start_ms"]): (
+            r["n_turns"], r["first_turn"], r["last_turn"],
+        )
+        for r in _sess_ms(view.read_view(spark)).collect()
+    }
+    t0 = int(T.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    mn = 60_000
+    assert got == {
+        ("sp", t0): (1, 1, 1),            # split: first fragment
+        ("sp", t0 + 40 * mn): (1, 3, 3),  # split: second fragment
+        ("mg", t0): (3, 1, 3),            # merge: one fused session
+    }
+
+
+def test_session_view_matches_batch_twin_and_oracle(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE)
+    _, view = _run_sessions(spark, env, tmp_path)
+    assert_same(
+        _sess_ms(view.read_view(spark)),
+        _sess_ms(sessions_state_batch(env)).toPandas(),
+        "session ivm vs batch twin",
+    )
+    con = duckdb.connect()
+    register_views(con, SF_SMOKE)
+    oracle = con.sql(
+        f"""
+        WITH my AS ({MYSQL_CHANGELOG_SQL}),
+        env AS (
+          SELECT op, conv_id, turn_idx, ts, seq,
+                 CASE op WHEN 'd' THEN 3 WHEN 'u' THEN 2
+                         WHEN 'c' THEN 1 ELSE 0 END AS op_rank
+          FROM my
+        ),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 max_by(op, seq * 4 + op_rank) AS op,
+                 max_by(epoch_ms(ts), seq * 4 + op_rank) AS ts_ms
+          FROM env GROUP BY conv_id, turn_idx
+        ),
+        live AS (SELECT conv_id, turn_idx, ts_ms FROM w WHERE op != 'd'),
+        m AS (SELECT *, CASE WHEN lag(ts_ms) OVER win IS NULL
+                             OR ts_ms - lag(ts_ms) OVER win > 1800000
+                        THEN 1 ELSE 0 END AS new_s
+              FROM live WINDOW win AS (PARTITION BY conv_id
+                                       ORDER BY ts_ms, turn_idx)),
+        sd AS (SELECT *, SUM(new_s) OVER (PARTITION BY conv_id
+                                          ORDER BY ts_ms, turn_idx
+                                          ROWS UNBOUNDED PRECEDING) AS sid
+               FROM m)
+        SELECT conv_id, MIN(ts_ms) AS sess_start_ms,
+               MAX(ts_ms) + 1800000 AS sess_end_ms,
+               COUNT(*) AS n_turns, MIN(turn_idx) AS first_turn,
+               MAX(turn_idx) AS last_turn
+        FROM sd GROUP BY conv_id, sid
+        """
+    ).df()
+    assert_same(_sess_ms(view.read_view(spark)), oracle, "session ivm vs duckdb")
 
 
 def test_replay_and_partial_commit_converge(spark, tmp_path):
