@@ -356,6 +356,60 @@ def run_spooled(sf_dir: str, cpus: int) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def run_ivm_replay(
+    cpus: int = 8,
+    n_turns: int = 2_240_000,
+    n_chunks: int = 8,
+    files_per_trigger: int = 2,
+) -> dict:
+    """Streaming replay that ALSO maintains the upsert-aware tumbling
+    window view per micro-batch (streaming/ivm.py). Same shape as
+    --streaming-replay, so the delta is the cost of keeping a windowed
+    aggregate transactionally consistent with the state table
+    (touched-conv recompute + grouped-replace commit per batch)."""
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import ivm
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+    spark = get_spark(app_name="bench-ivm", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="ivm-replay-")
+    try:
+        env = synth_envelopes(spark, n_turns)
+        n_env = env.count()
+        spool = os.path.join(root, "spool")
+        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+        state = MergeParquetSink(os.path.join(root, "state"))
+        view = ivm.GroupedReplaceParquetSink(os.path.join(root, "view"))
+        t0 = time.perf_counter()
+        ivm.windowed_state_stream(
+            spark,
+            spool,
+            state,
+            view,
+            os.path.join(root, "ckpt"),
+            max_files_per_trigger=files_per_trigger,
+        )
+        wall = time.perf_counter() - t0
+        return {
+            "metric": "ivm_replay_envelopes_per_sec",
+            "value": round(n_env / wall),
+            "unit": "envelopes/sec",
+            "envelopes": n_env,
+            "wall_s": round(wall, 2),
+            "state_rows": state.snapshot(spark).count(),
+            "view_rows": view.read_view(spark).count(),
+            "microbatches": n_chunks // files_per_trigger,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_json_replay(
     cpus: int = 8,
     n_turns: int = 2_240_000,
@@ -575,6 +629,10 @@ def main() -> None:
 
     if "--streaming-replay" in sys.argv:
         print(json.dumps(run_streaming_replay(cpus=min(cpus, 8))))
+        return
+
+    if "--ivm-replay" in sys.argv:
+        print(json.dumps(run_ivm_replay(cpus=min(cpus, 8))))
         return
 
     if "--json-replay" in sys.argv:
