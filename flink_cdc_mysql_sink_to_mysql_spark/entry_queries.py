@@ -30,6 +30,7 @@ from .operators import (
     decontam,
     dedup,
     examples,
+    history,
     joins,
     multimodal,
     similarity,
@@ -146,6 +147,30 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "tool",
         F.unix_millis("ts").alias("ts_ms"),
+    )
+
+
+SCD2_ORACLE = history.scd2_history_sql(MYSQL_CHANGELOG_SQL, MONGO_CHANGELOG_SQL)
+
+# mid-corpus change-sequence for the as-of twin (2024-01-16, inside the
+# fixed 2024-01 window the generator draws ts from at every SF)
+ASOF_SEQ = 1705367014557
+
+
+# NOT driver-registered (50-query budget): SCD2 version history — every
+# text a turn ever had with its (valid_from, valid_to] interval; the
+# history complement of cdc_apply_upsert's latest-image view. Local
+# oracle sweep (tests/test_unregistered_oracles.py) + semantic tests
+# (tests/test_history.py).
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return history.scd2_history(changelog_envelopes(spark, sf_dir))
+
+
+# NOT driver-registered (50-query budget): time travel over the SCD2
+# table — the corpus as of a fixed change-sequence; same sweeps.
+def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return history.asof_snapshot(
+        history.scd2_history(changelog_envelopes(spark, sf_dir)), ASOF_SEQ
     )
 
 

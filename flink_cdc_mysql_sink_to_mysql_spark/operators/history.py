@@ -1,0 +1,165 @@
+"""SCD2 (type-2 slowly-changing-dimension) history from the changelog.
+
+The reference pipeline materializes only the LATEST image of each row
+(`MysqlSinkToMysqlJob.java` upserts, `operators/cdc.apply_changelog`
+here). A training-data platform also wants the *history*: every text a
+turn ever had, with its validity interval — e.g. to study assistant
+edit behavior, to reproduce "the corpus as of seq S", or to audit what
+a deleted turn said before deletion. This module derives that history
+as one window pass over the same Debezium-shaped envelopes
+(op/before/after/seq — `sources/transcripts.changelog_envelopes`):
+
+- every non-null ``after`` image opens a version at ``seq``;
+- an op='r' snapshot row that carries a pre-image (the D5 historical
+  pair, `UserBehaviorDebeziumDeserializer.java:157-192`) additionally
+  opens the pre-image as an EARLIER version at the same ``seq``
+  (rank-ordered before the snapshot image, mirroring the 2-event
+  history the reference emits for such rows);
+- an op='d' closes the key's last open version without opening one.
+
+``valid_from`` = the opening change's seq; ``valid_to`` = the next
+change's seq on the same key (NULL while open); ``is_current`` = no
+later change exists (so a deleted turn's final version has
+``is_current = false`` with ``valid_to`` = the delete's seq).
+
+Scale: one hash exchange on (conv_id, turn_idx) serves both window
+functions (lead + row_number share the partitioning); the multi-emit
+is a narrow explode. No joins, no driver state — at 10^12 turns this
+is a single shuffle of (key, image) pairs, the same shape as
+``apply_changelog``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_IMG_FIELDS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+def _change_row(src: str, rank: int, is_image: bool) -> "F.Column":
+    """One (key, image, order) change struct from a before/after image."""
+    fields = [F.col(f"{src}.{f}").alias(f) for f in _IMG_FIELDS]
+    if not is_image:
+        # delete marker: key + order only; image fields nulled so the
+        # marker carries no payload past the lead() it exists for.
+        fields = [
+            F.col(f"{src}.{f}").alias(f)
+            if f in ("conv_id", "turn_idx")
+            else F.lit(None).cast("string" if f in ("role", "text", "tool") else "timestamp").alias(f)
+            for f in _IMG_FIELDS
+        ]
+    return F.struct(
+        *fields,
+        F.col("seq").alias("valid_from"),
+        F.lit(rank).cast("int").alias("rank"),
+        F.lit(is_image).alias("is_image"),
+    )
+
+
+def scd2_history(envelopes: DataFrame) -> DataFrame:
+    """All versions every (conv_id, turn_idx) ever had, with validity.
+
+    Output: conv_id, turn_idx, version (1-based per key in change
+    order), role, text, tool, ts, valid_from (seq), valid_to (next
+    change's seq, NULL while open), is_current.
+    """
+    is_hist = (F.col("op") == "r") & F.col("before.conv_id").isNotNull()
+    changes = (
+        envelopes.select(
+            F.explode(
+                F.filter(
+                    F.array(
+                        F.when(is_hist, _change_row("before", 0, True)),
+                        F.when(
+                            F.col("after.conv_id").isNotNull(),
+                            _change_row("after", 1, True),
+                        ),
+                        F.when(F.col("op") == "d", _change_row("before", 2, False)),
+                    ),
+                    lambda e: e.isNotNull(),
+                )
+            ).alias("ch")
+        )
+    ).select("ch.*")
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy("valid_from", "rank")
+    return (
+        changes.withColumn("valid_to", F.lead("valid_from").over(w))
+        # closed-ness must see delete markers; lead(lit) is null only
+        # at the true end of the key's change sequence
+        .withColumn("open_end", F.lead(F.lit(1)).over(w).isNull())
+        .where(F.col("is_image"))
+        .withColumn("version", F.row_number().over(w))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "version",
+            "role",
+            "text",
+            "tool",
+            F.unix_millis("ts").alias("ts_ms"),
+            "valid_from",
+            "valid_to",
+            F.col("open_end").alias("is_current"),
+        )
+    )
+
+
+def scd2_history_sql(mysql_changelog_sql: str, mongo_changelog_sql: str) -> str:
+    """DuckDB oracle: same change-row construction over the flat SQL
+    changelog twins, same (valid_from, rank) window. NULLS FIRST pins
+    DuckDB's ordering to Spark's ascending-nulls-first default."""
+    return f"""
+WITH my AS ({mysql_changelog_sql}),
+     mo AS ({mongo_changelog_sql}),
+     ch AS (
+       SELECT conv_id, turn_idx, role, before_text AS text, tool,
+              before_ts AS ts, seq AS valid_from, 0 AS rank, TRUE AS is_image
+       FROM my WHERE op = 'r' AND before_text IS NOT NULL
+       UNION ALL
+       SELECT conv_id, turn_idx, role, after_text, tool, ts, seq, 1, TRUE
+       FROM my WHERE op != 'd'
+       UNION ALL
+       SELECT conv_id, turn_idx, NULL, NULL, NULL, NULL, seq, 2, FALSE
+       FROM my WHERE op = 'd'
+       UNION ALL
+       SELECT conv_id, turn_idx, role, text, tool,
+              make_timestamp(create_time_ms * 1000), create_time_ms, 1, TRUE
+       FROM mo
+     ),
+     led AS (
+       SELECT *,
+              lead(valid_from) OVER w AS valid_to,
+              (lead(1) OVER w IS NULL) AS is_current
+       FROM ch
+       WINDOW w AS (PARTITION BY conv_id, turn_idx
+                    ORDER BY valid_from NULLS FIRST, rank)
+     )
+SELECT conv_id, turn_idx,
+       CAST(row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY valid_from NULLS FIRST, rank) AS INTEGER)
+         AS version,
+       role, text, tool, epoch_ms(ts) AS ts_ms, valid_from, valid_to, is_current
+FROM led WHERE is_image
+"""
+
+
+def asof_snapshot(history: DataFrame, seq: int) -> DataFrame:
+    """The corpus as of change-sequence ``seq``: the version of each
+    key whose validity interval contains ``seq`` (time travel over the
+    SCD2 table — no replay needed). A plain filter, so partition/file
+    pruning on a valid_from-sorted layout applies."""
+    return history.where(
+        (F.col("valid_from") <= F.lit(seq))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(seq)))
+    ).drop("is_current")
+
+
+def asof_snapshot_sql(history_sql: str, seq: int) -> str:
+    return f"""
+WITH h AS ({history_sql})
+SELECT conv_id, turn_idx, version, role, text, tool, ts_ms, valid_from, valid_to
+FROM h
+WHERE valid_from <= {seq} AND (valid_to IS NULL OR valid_to > {seq})
+"""

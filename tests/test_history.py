@@ -1,0 +1,162 @@
+"""Semantic tests for the SCD2 changelog history (operators/history.py).
+
+Oracle parity runs in tests/test_unregistered_oracles.py; this module
+pins the semantics the hash can't explain: interval tiling, delete
+closure, the D5 historical pair's same-seq version ordering, time
+travel, and — the strongest invariant — that the is_current slice IS
+the LWW materialized view (`cdc.apply_changelog`), row for row.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, history
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+    changelog_envelopes,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return history.scd2_history(
+        changelog_envelopes(spark, SF_CORRECT)
+    ).persist()
+
+
+def test_versions_contiguous_and_single_current(hist):
+    per_key = hist.groupBy("conv_id", "turn_idx").agg(
+        F.count("*").alias("n"),
+        F.max("version").alias("vmax"),
+        F.min("version").alias("vmin"),
+        F.sum(F.col("is_current").cast("int")).alias("n_current"),
+    )
+    assert per_key.where("vmin != 1 OR vmax != n").count() == 0
+    assert per_key.where("n_current > 1").count() == 0
+
+
+def test_intervals_tile_per_key(hist):
+    """Within a key, version v's valid_to covers at least to version
+    v+1's valid_from (equal unless a delete-reinsert gap intervenes —
+    the generator never reinserts, so here: exactly equal)."""
+    w_next = (
+        hist.select("conv_id", "turn_idx", "version", "valid_from", "valid_to")
+        .alias("a")
+        .join(
+            hist.select(
+                "conv_id",
+                "turn_idx",
+                F.col("version").alias("nv"),
+                F.col("valid_from").alias("next_from"),
+            ).alias("b"),
+            on=[
+                F.col("a.conv_id") == F.col("b.conv_id"),
+                F.col("a.turn_idx") == F.col("b.turn_idx"),
+                F.col("a.version") + 1 == F.col("b.nv"),
+            ],
+        )
+    )
+    assert w_next.where("valid_to != next_from").count() == 0
+
+
+def test_deleted_keys_fully_closed(hist, spark):
+    env = changelog_envelopes(spark, SF_CORRECT)
+    deleted = (
+        env.where("op = 'd'")
+        .select(
+            F.col("before.conv_id").alias("conv_id"),
+            F.col("before.turn_idx").alias("turn_idx"),
+            F.col("seq").alias("del_seq"),
+        )
+        .distinct()
+    )
+    joined = hist.join(deleted, ["conv_id", "turn_idx"]).persist()
+    assert joined.count() > 0
+    # every version of a deleted key is closed; none is current; the
+    # LAST version closes exactly at the delete's seq
+    assert joined.where("valid_to IS NULL OR is_current").count() == 0
+    last = joined.withColumn(
+        "vmax",
+        F.max("version").over(Window.partitionBy("conv_id", "turn_idx")),
+    ).where("version = vmax")
+    assert last.where("valid_to != del_seq").count() == 0
+    joined.unpersist()
+
+
+def test_historical_pair_same_seq_ordering(hist):
+    """D5 snapshot rows carrying a pre-image yield two versions at the
+    SAME valid_from, pre-image first, edit second."""
+    v2 = hist.where("version = 2").select(
+        "conv_id", "turn_idx", F.col("valid_from").alias("f2"),
+        F.col("text").alias("t2"),
+    )
+    v1 = hist.where("version = 1").select(
+        "conv_id", "turn_idx", F.col("valid_from").alias("f1"),
+        F.col("text").alias("t1"),
+    )
+    pairs = v1.join(v2, ["conv_id", "turn_idx"])
+    same_seq = pairs.where("f1 = f2").persist()
+    assert same_seq.count() > 0
+    assert (
+        same_seq.where(
+            (F.col("t2") != F.concat(F.col("t1"), F.lit(" [edited]")))
+        ).count()
+        == 0
+    )
+    same_seq.unpersist()
+
+
+def test_current_slice_is_the_lww_view(hist, spark):
+    """is_current ⇔ the row apply_changelog materializes: the SCD2
+    table is a strict superset view of the reference sink's output."""
+    cur = hist.where("is_current").select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts_ms"
+    )
+    lww = cdc.apply_changelog(changelog_envelopes(spark, SF_CORRECT)).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.unix_millis("ts").alias("ts_ms"),
+    )
+    assert cur.exceptAll(lww).count() == 0
+    assert lww.exceptAll(cur).count() == 0
+
+
+def test_asof_time_travel_shows_superseded_text(hist, spark):
+    """Snapshotting just before an edit's valid_from returns the
+    pre-edit version of that key."""
+    edited = (
+        hist.where("version = 2 AND valid_from > 0")
+        .select("conv_id", "turn_idx", "valid_from")
+        .orderBy("valid_from", "conv_id", "turn_idx")
+        .first()
+    )
+    assert edited is not None
+    seq = edited["valid_from"] - 1
+    snap = history.asof_snapshot(hist, seq).where(
+        (F.col("conv_id") == edited["conv_id"])
+        & (F.col("turn_idx") == edited["turn_idx"])
+    )
+    rows = snap.collect()
+    # either version 1 was already valid (shows old text) or the key
+    # didn't exist yet; with valid_from strictly increasing per key and
+    # v2 at valid_from, v1 must be the one visible at valid_from-1
+    # UNLESS v1 shares the same seq (historical pair) — exclude those
+    v1 = (
+        hist.where("version = 1")
+        .where(
+            (F.col("conv_id") == edited["conv_id"])
+            & (F.col("turn_idx") == edited["turn_idx"])
+        )
+        .first()
+    )
+    if v1["valid_from"] <= seq:
+        assert len(rows) == 1 and rows[0]["version"] == 1
+    else:
+        assert rows == []

@@ -30,7 +30,11 @@ import pytest
 
 from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
 from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
-from flink_cdc_mysql_sink_to_mysql_spark.operators import dedup, similarity
+from flink_cdc_mysql_sink_to_mysql_spark.operators import (
+    dedup,
+    history,
+    similarity,
+)
 from tests.conftest import SF_CORRECT, register_views
 from tests.util import assert_same
 
@@ -77,6 +81,16 @@ CASES = [
         "dedup_semantic",
         eq.q_dedup_semantic,
         lambda: similarity.semantic_dedup_sql("embeddings"),
+    ),
+    (
+        "scd2_history",
+        eq.q_scd2_history,
+        lambda: eq.SCD2_ORACLE,
+    ),
+    (
+        "scd2_asof",
+        eq.q_scd2_asof,
+        lambda: history.asof_snapshot_sql(eq.SCD2_ORACLE, eq.ASOF_SEQ),
     ),
 ]
 
