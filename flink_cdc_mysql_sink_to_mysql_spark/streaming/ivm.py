@@ -172,6 +172,32 @@ def _tumbling_rows(live: DataFrame, window: str) -> DataFrame:
     )
 
 
+def _sliding_rows(live: DataFrame, window: str, slide: str) -> DataFrame:
+    # F.window(ts, W, S) multi-assigns each turn to its W/S covering
+    # windows — the recompute stays one hash agg per touched conv
+    return (
+        live.groupBy("conv_id", F.window("ts", window, slide).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "n_turns",
+        )
+    )
+
+
+def sliding_state_batch(
+    envelopes: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """Batch twin / oracle for :func:`sliding_state_stream`."""
+    from ..operators.cdc import apply_changelog
+
+    return _sliding_rows(apply_changelog(envelopes), window, slide)
+
+
 def _session_rows(live: DataFrame, gap: str) -> DataFrame:
     return (
         live.groupBy("conv_id", F.session_window("ts", gap).alias("sw"))
@@ -286,6 +312,32 @@ def windowed_state_stream(
         window_sink,
         checkpoint_dir,
         recompute=lambda live: _tumbling_rows(live, window),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def sliding_state_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    state_sink: MergeParquetSink,
+    window_sink: GroupedReplaceParquetSink,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    max_files_per_trigger: int | None = 1,
+):
+    """Sliding-window view maintained under upserts/deletes: a ts move
+    retracts the turn from EVERY window it covered and adds it to every
+    window it now covers — W/S memberships per turn, all handled by the
+    same recompute-from-state commit (no per-membership retraction
+    bookkeeping)."""
+    return maintained_view_stream(
+        spark,
+        spool_dir,
+        state_sink,
+        window_sink,
+        checkpoint_dir,
+        recompute=lambda live: _sliding_rows(live, window, slide),
         max_files_per_trigger=max_files_per_trigger,
     )
 

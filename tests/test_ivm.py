@@ -24,6 +24,8 @@ from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
     GroupedReplaceParquetSink,
     session_state_stream,
     sessions_state_batch,
+    sliding_state_batch,
+    sliding_state_stream,
     windowed_state_batch,
     windowed_state_stream,
 )
@@ -259,6 +261,108 @@ def test_session_view_matches_batch_twin_and_oracle(spark, tmp_path):
         """
     ).df()
     assert_same(_sess_ms(view.read_view(spark)), oracle, "session ivm vs duckdb")
+
+
+def test_sliding_view_retracts_all_memberships(spark, tmp_path):
+    """A ts move must leave EVERY window the turn covered (W/S = 2
+    memberships at 10 min / 5 min) and enter every window it now
+    covers; a delete retracts both memberships at once."""
+    s = ("db", "t")
+
+    def turn(conv, idx, minutes):
+        return (
+            conv, idx, "user", f"{conv}.{idx}", None,
+            T + dt.timedelta(minutes=minutes),
+        )
+
+    rows = [
+        # mv: turn at minute 7 covers windows starting 10:00 and 10:05;
+        # moved to minute 21 → windows 10:15 and 10:20
+        ("c", None, turn("mv", 1, 7), s, 1),
+        ("u", turn("mv", 1, 7), turn("mv", 1, 21), s, 2),
+        # anchor turn at minute 1 (windows 09:55 and 10:00) so the conv
+        # keeps rows in the early windows
+        ("c", None, turn("mv", 2, 1), s, 1),
+        # del2: two turns in the same slide bucket, one deleted — both
+        # covering windows drop from 2 to 1
+        ("c", None, turn("del2", 1, 6), s, 1),
+        ("c", None, turn("del2", 2, 8), s, 1),
+        ("d", turn("del2", 1, 6), None, s, 3),
+    ]
+    env = spark.createDataFrame(rows, ENVELOPE_DDL)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=2)
+    state = MergeParquetSink(str(tmp_path / "state"), n_buckets=8)
+    view = GroupedReplaceParquetSink(str(tmp_path / "view"), n_buckets=8)
+    sliding_state_stream(
+        spark, spool, state, view, str(tmp_path / "ckpt"),
+        window="10 minutes", slide="5 minutes",
+    )
+    got = {
+        (r["conv_id"], r["win_start_ms"]): r["n_turns"]
+        for r in _view_ms(view.read_view(spark)).collect()
+    }
+    t0 = int(T.replace(tzinfo=dt.timezone.utc).timestamp() * 1000)
+    mn = 60_000
+    assert got == {
+        ("mv", t0 - 5 * mn): 1,   # anchor @1: window 09:55
+        ("mv", t0): 1,            # anchor @1: window 10:00 (moved turn gone)
+        ("mv", t0 + 15 * mn): 1,  # moved turn @21: window 10:15
+        ("mv", t0 + 20 * mn): 1,  # moved turn @21: window 10:20
+        ("del2", t0): 1,          # survivor @8 only
+        ("del2", t0 + 5 * mn): 1,
+    }
+
+
+def test_sliding_view_matches_batch_twin_and_oracle(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=3)
+    state = MergeParquetSink(str(tmp_path / "state"), n_buckets=8)
+    view = GroupedReplaceParquetSink(str(tmp_path / "view"), n_buckets=8)
+    sliding_state_stream(
+        spark, spool, state, view, str(tmp_path / "ckpt"),
+        window="10 minutes", slide="5 minutes",
+    )
+    assert_same(
+        _view_ms(view.read_view(spark)),
+        _view_ms(
+            sliding_state_batch(env, "10 minutes", "5 minutes")
+        ).toPandas(),
+        "sliding ivm vs batch twin",
+    )
+    con = duckdb.connect()
+    register_views(con, SF_SMOKE)
+    # W/S = 2: each live turn belongs to the windows starting at
+    # floor(ts/S)*S and floor(ts/S)*S − S
+    oracle = con.sql(
+        f"""
+        WITH my AS ({MYSQL_CHANGELOG_SQL}),
+        env AS (
+          SELECT op, conv_id, turn_idx, ts, seq,
+                 CASE op WHEN 'd' THEN 3 WHEN 'u' THEN 2
+                         WHEN 'c' THEN 1 ELSE 0 END AS op_rank
+          FROM my
+        ),
+        w AS (
+          SELECT conv_id, turn_idx,
+                 max_by(op, seq * 4 + op_rank) AS op,
+                 max_by(epoch_ms(ts), seq * 4 + op_rank) AS ts_ms
+          FROM env GROUP BY conv_id, turn_idx
+        ),
+        live AS (SELECT conv_id, ts_ms FROM w WHERE op != 'd'),
+        memb AS (
+          SELECT conv_id,
+                 CAST(floor(ts_ms / 300000) AS BIGINT) * 300000
+                   - off AS win_start_ms
+          FROM live, (SELECT unnest([0, 300000]) AS off)
+        )
+        SELECT conv_id, win_start_ms, win_start_ms + 600000 AS win_end_ms,
+               COUNT(*) AS n_turns
+        FROM memb GROUP BY 1, 2
+        """
+    ).df()
+    assert_same(_view_ms(view.read_view(spark)), oracle, "sliding ivm vs duckdb")
 
 
 def test_replay_and_partial_commit_converge(spark, tmp_path):
