@@ -174,6 +174,13 @@ def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): per-conversation edit-churn
+# metrics from the before/after images (the only reader of the
+# before-image TEXT); local oracle sweep + tests/test_history.py.
+def q_edit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return history.edit_churn(changelog_envelopes(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # 3. turn-event derivation (D1–D9 analog over the union of both dialects)
 # ---------------------------------------------------------------------------

@@ -145,6 +145,60 @@ FROM led WHERE is_image
 """
 
 
+def edit_churn(envelopes: DataFrame) -> DataFrame:
+    """Per-conversation edit-behavior metrics from the before/after
+    images: how often turns are edited and how much text each edit
+    moves (Levenshtein distance + signed length delta). Covers op='u'
+    AND the D5 historical pair (op='r' carrying a pre-image — an edit
+    that predates the snapshot). No other query reads the before-image
+    TEXT, so this pins that half of the envelope end-to-end.
+
+    Scale: narrow filter + JVM levenshtein per edit row (edits are a
+    small fraction of the feed), one hash agg on conv_id.
+    """
+    edits = envelopes.where(
+        (F.col("op") == "u")
+        | ((F.col("op") == "r") & F.col("before.conv_id").isNotNull())
+    ).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.levenshtein("before.text", "after.text").alias("lev"),
+        (
+            F.length("after.text").cast("long")
+            - F.length("before.text").cast("long")
+        ).alias("len_delta"),
+    )
+    return edits.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_edits"),
+        F.countDistinct("turn_idx").alias("turns_edited"),
+        F.sum("lev").cast("long").alias("total_lev"),
+        F.max("lev").cast("long").alias("max_lev"),
+        F.sum("len_delta").alias("total_len_delta"),
+    )
+
+
+def edit_churn_sql(mysql_changelog_sql: str) -> str:
+    """DuckDB oracle (mongo contributes no edits — insert-only dialect,
+    so the mysql twin alone is the full feed's edit set)."""
+    return f"""
+WITH my AS ({mysql_changelog_sql}),
+     ed AS (
+       SELECT conv_id, turn_idx,
+              levenshtein(before_text, after_text) AS lev,
+              CAST(length(after_text) AS BIGINT)
+                - CAST(length(before_text) AS BIGINT) AS len_delta
+       FROM my
+       WHERE op = 'u' OR (op = 'r' AND before_text IS NOT NULL)
+     )
+SELECT conv_id, COUNT(*) AS n_edits,
+       COUNT(DISTINCT turn_idx) AS turns_edited,
+       CAST(SUM(lev) AS BIGINT) AS total_lev,
+       CAST(MAX(lev) AS BIGINT) AS max_lev,
+       SUM(len_delta) AS total_len_delta
+FROM ed GROUP BY conv_id
+"""
+
+
 def asof_snapshot(history: DataFrame, seq: int) -> DataFrame:
     """The corpus as of change-sequence ``seq``: the version of each
     key whose validity interval contains ``seq`` (time travel over the

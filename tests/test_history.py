@@ -128,6 +128,20 @@ def test_current_slice_is_the_lww_view(hist, spark):
     assert lww.exceptAll(cur).count() == 0
 
 
+def test_edit_churn_measures_the_generator_suffix(spark):
+    """Every generator edit appends exactly ' [edited]' (9 chars), so
+    per-edit Levenshtein and length delta are both 9 — total_lev must
+    be 9 × n_edits for every conversation, and edits must exist."""
+    churn = history.edit_churn(changelog_envelopes(spark, SF_CORRECT))
+    assert churn.count() > 0
+    bad = churn.where(
+        (F.col("total_lev") != 9 * F.col("n_edits"))
+        | (F.col("total_len_delta") != 9 * F.col("n_edits"))
+        | (F.col("max_lev") != 9)
+    )
+    assert bad.count() == 0
+
+
 def test_asof_time_travel_shows_superseded_text(hist, spark):
     """Snapshotting just before an edit's valid_from returns the
     pre-edit version of that key."""

@@ -92,6 +92,11 @@ CASES = [
         eq.q_scd2_asof,
         lambda: history.asof_snapshot_sql(eq.SCD2_ORACLE, eq.ASOF_SEQ),
     ),
+    (
+        "edit_churn",
+        eq.q_edit_churn,
+        lambda: history.edit_churn_sql(eq.MYSQL_CHANGELOG_SQL),
+    ),
 ]
 
 
