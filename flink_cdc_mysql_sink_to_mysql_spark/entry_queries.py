@@ -834,6 +834,15 @@ def q_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), nprobe=2)
 
 
+# NOT driver-registered (50-query budget): product-quantization ANN —
+# compressed-domain top-k via explicit reconstruction (bit-exact DuckDB
+# twin in the local oracle sweep); the table-lookup ADC kernel and the
+# per-subvector k-means trainer are rank-/objective-pinned in
+# tests/test_pq.py.
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk(_emb(spark, sf_dir))
+
+
 # numpy/BLAS matmul kernel — `cos` differs from the fold at ~1e-16
 # (pairwise summation), but the RANKING is identical, so the registered
 # projection drops cos and oracle-checks (q_id, vec_id, rank) against the

@@ -697,3 +697,342 @@ def semantic_dedup_sql(
              AS is_kept
     FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subvectors per vector (dim must divide evenly)
+PQ_K = 16  # codewords per sub-codebook — codes are PQ_M small ints/vector
+
+
+def l2sq_fold(a: "Column", b: "Column") -> "Column":
+    """Fixed-order squared-L2 fold — bit-identical to the DuckDB twin
+    (same zip/transform/reduce op order as dot_fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+L2SQ_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))"
+    " * (CAST(s[1] AS DOUBLE) - CAST(s[2] AS DOUBLE))), (acc, v) -> acc + v)"
+)
+
+
+def _codebook_rows(emb: DataFrame, m: int, k: int) -> DataFrame:
+    """Deterministic sub-codebooks (j, cid, csub): subvector slices of
+    the first ``k`` vec_ids — the same oracle-expressible corpus-sample
+    trick as :func:`ivf_centroids` (swap in per-subvector k-means on a
+    real cluster; nothing downstream changes). Size m·k — a constant,
+    always broadcastable."""
+    js = emb.sparkSession.range(m).select(F.col("id").cast("int").alias("j"))
+    sliced = (
+        emb.where(F.col("vec_id") < k)
+        .join(F.broadcast(js))
+        .select(
+            "j",
+            F.col("vec_id").alias("cid"),
+            F.expr(
+                f"slice(embedding, j * (size(embedding) div {m}) + 1,"
+                f" size(embedding) div {m})"
+            ).alias("csub"),
+        )
+    )
+    return sliced
+
+
+def pq_encode(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """PQ codes: per (vector, subvector j) the id of the nearest (L2)
+    codeword, ties → smallest cid. Returns (vec_id, j, code, rnrm2_j =
+    ||codeword||²); the reconstruction norm² of the whole vector is
+    Σ_j rnrm2_j (subvectors occupy disjoint coordinates).
+
+    Scale: broadcast join against a CONSTANT m·k codebook →
+    O(n · m · k) narrow compute, one (vec_id, j) window on a
+    pre-partitioned exchange. Codes are m small ints — the compressed
+    corpus is ~dim·8/m/1 bytes smaller per vector, the point of PQ.
+    """
+    cb = F.broadcast(
+        (codebooks if codebooks is not None else _codebook_rows(emb, m, k))
+        .withColumn("cnrm2", dot_fold(F.col("csub"), F.col("csub")))
+    )
+    sub = emb.join(F.broadcast(cb.select("j").distinct())).select(
+        "vec_id",
+        "j",
+        F.expr(
+            f"slice(embedding, j * (size(embedding) div {m}) + 1,"
+            f" size(embedding) div {m})"
+        ).alias("vsub"),
+    )
+    scored = sub.join(cb, "j").select(
+        "vec_id",
+        "j",
+        "cid",
+        "cnrm2",
+        l2sq_fold(F.col("vsub"), F.col("csub")).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "j").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "j", F.col("cid").alias("code"),
+                F.col("cnrm2").alias("rnrm2_j"))
+    )
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """Decode codes back to (vec_id, emb_hat, r_nrm): codeword slices
+    concatenated in j order. One hash agg on vec_id."""
+    cb = F.broadcast(
+        codebooks if codebooks is not None else _codebook_rows(emb, m, k)
+    )
+    return (
+        codes.join(cb, (codes["j"] == cb["j"]) & (codes["code"] == cb["cid"]))
+        .select("vec_id", codes["j"].alias("jj"), "csub")
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("jj"), F.col("csub")))
+                ).getField("csub")
+            ).alias("emb_hat")
+        )
+        .withColumn("r_nrm", norm_fold(F.col("emb_hat")))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    topk: int = 5,
+    every: int = Q_EVERY,
+    q_cap: int = Q_CAP,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    codebooks: DataFrame | None = None,
+) -> DataFrame:
+    """ANN top-k in the compressed domain (asymmetric: exact query ×
+    reconstructed corpus — the standard ADC semantics, expressed here
+    through explicit reconstruction so Spark and the DuckDB oracle
+    share one fixed-order fold and match bit-for-bit; the table-lookup
+    ADC kernel is :func:`pq_topk_adc`, rank-verified against this).
+    """
+    cb = codebooks if codebooks is not None else _codebook_rows(emb, m, k)
+    recon = pq_reconstruct(pq_encode(emb, m, k, cb), emb, m, k, cb)
+    q = F.broadcast(
+        _query_set(emb, every, q_cap).withColumn(
+            "q_nrm", norm_fold(F.col("q_emb"))
+        )
+    )
+    scored = q.join(recon, F.col("q_id") != F.col("vec_id")).select(
+        "q_id",
+        "vec_id",
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("emb_hat")),
+            F.col("q_nrm") * F.col("r_nrm"),
+        ).alias("cos"),
+    )
+    return _topk(scored, topk)
+
+
+def pq_topk_sql(
+    rel: str,
+    topk: int = 5,
+    every: int = Q_EVERY,
+    q_cap: int = Q_CAP,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> str:
+    """DuckDB twin: same slices, same L2² argmin, same j-ordered
+    reconstruction, same cosine fold."""
+    d2 = L2SQ_SQL.format(a="s.vsub", b="c.csub")
+    cos = cosine_sql("q.embedding", "r.emb_hat")
+    return f"""
+    WITH js AS (SELECT unnest(range({m})) AS j),
+    cb AS (
+      SELECT js.j, e.vec_id AS cid,
+             e.embedding[js.j * (len(e.embedding) // {m}) + 1 :
+                         (js.j + 1) * (len(e.embedding) // {m})] AS csub
+      FROM {rel} e, js WHERE e.vec_id < {k}
+    ),
+    sub AS (
+      SELECT e.vec_id, js.j,
+             e.embedding[js.j * (len(e.embedding) // {m}) + 1 :
+                         (js.j + 1) * (len(e.embedding) // {m})] AS vsub
+      FROM {rel} e, js
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code, csub FROM (
+        SELECT s.vec_id, s.j, c.cid, c.csub,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                                  ORDER BY {d2} ASC, c.cid ASC) AS rn
+        FROM sub s JOIN cb c ON c.j = s.j
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT vec_id, flatten(list(csub ORDER BY j)) AS emb_hat
+      FROM codes GROUP BY vec_id
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, r.vec_id, {cos} AS cos
+      FROM {rel} q JOIN recon r
+        ON {_query_pred_sql('q.vec_id', every, q_cap)}
+       AND q.vec_id != r.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {topk}
+    """
+
+
+def pq_topk_adc(
+    emb: DataFrame,
+    topk: int = 5,
+    every: int = Q_EVERY,
+    q_cap: int = Q_CAP,
+    m: int = PQ_M,
+    k: int = PQ_K,
+) -> DataFrame:
+    """Table-lookup ADC kernel — the scale path: scores each vector
+    from its m CODES (no reconstructed array ever shuffles). Per Arrow
+    batch: one numpy gather over a precomputed (q_cap, m, k)
+    partial-dot table + a per-batch top-k cut, O(q_cap · m) per vector.
+    Scores differ from :func:`pq_topk` only by float summation order
+    (~1e-15); rank equality is pinned in tests, mirroring the
+    numpy-vs-fold precedent of cosine_topk_numpy."""
+    import numpy as np
+    import pandas as pd
+
+    codes = (
+        pq_encode(emb, m, k)
+        .groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("j", "code", "rnrm2_j"))
+            ).alias("cs")
+        )
+        .select(
+            "vec_id",
+            F.col("cs.code").alias("codes"),
+            F.sqrt(F.aggregate(
+                F.col("cs.rnrm2_j"), F.lit(0.0), lambda a, v: a + v
+            )).alias("r_nrm"),
+        )
+    )
+
+    spark = emb.sparkSession
+    qrows = (
+        emb.where(_query_pred(every, q_cap))
+        .select("vec_id", "embedding")
+        .collect()
+    )  # O(q_cap · dim) driver collect — bounded, corpus-independent
+    cbrows = _codebook_rows(emb, m, k).collect()  # O(m · k · dim/m)
+    qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    d = qmat.shape[1] // m
+    cb = np.zeros((m, k, d), dtype=np.float64)
+    for r in cbrows:
+        cb[r["j"], r["cid"], :] = np.asarray(r["csub"], dtype=np.float64)
+    # pdot[q, j, c] = <q_j, cb[j, c]>
+    pdot = np.einsum("qjd,jcd->qjc", qmat.reshape(len(qids), m, d), cb)
+    qnrm = np.sqrt((qmat * qmat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, pdot, qnrm))
+    kk = topk
+
+    def _score(batches):
+        b_qids, b_pdot, b_qnrm = bc.value
+        jj = np.arange(m)
+        for pdf in batches:
+            iv = pdf["vec_id"].to_numpy()
+            rn = pdf["r_nrm"].to_numpy()
+            cmat = np.stack(pdf["codes"].to_numpy())  # (n, m) small ints
+            # gather: dots[q, i] = Σ_j pdot[q, j, codes[i, j]]
+            dots = b_pdot[:, jj[None, :], cmat[:, jj]].sum(axis=2)
+            cosm = dots / (b_qnrm[:, None] * rn[None, :])
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(b_qids)):
+                row = cosm[qi]
+                idx = np.flatnonzero(iv != b_qids[qi])
+                # full (−cos, vec_id) lexsort: PQ cosines tie heavily
+                # (docs sharing codes score identically), so a
+                # partition-then-cut could drop the tie the global
+                # vec_id-asc order keeps — exact per-batch top-k is
+                # cheap and composes exactly with _topk
+                sel = idx[np.lexsort((iv[idx], -row[idx]))[:kk]]
+                out_q.append(np.full(len(sel), b_qids[qi], dtype=np.int64))
+                out_v.append(iv[sel])
+                out_c.append(row[sel])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    scored = codes.mapInPandas(
+        _score, schema="q_id long, vec_id long, cos double"
+    )
+    return _topk(scored, topk)
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Trained PQ sub-codebooks (the production replacement for the
+    deterministic corpus-sample books): one euclidean Spark ML KMeans
+    per subvector — the textbook PQ training recipe (Jégou et al. 2011,
+    §III). m models of k centers each; O(m · iter · n · k) total,
+    driver holds only the m·k centers. Seeded → deterministic on the
+    same input/partitioning. No cross-engine oracle (iterative);
+    contract: same (j, cid, csub) schema as the sample books, drop-in
+    via ``codebooks=`` — recall improvement is measured in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    rows = []
+    for j in range(m):
+        feats = emb.select(
+            array_to_vector(
+                F.expr(
+                    f"slice(embedding, {j} * (size(embedding) div {m}) + 1,"
+                    f" size(embedding) div {m})"
+                ).cast("array<double>")
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)
+        rows.extend(
+            (j, cid, [float(x) for x in c])
+            for cid, c in enumerate(model.clusterCenters())
+        )
+    return emb.sparkSession.createDataFrame(
+        rows, "j int, cid long, csub array<double>"
+    )

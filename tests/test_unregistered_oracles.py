@@ -97,6 +97,11 @@ CASES = [
         eq.q_edit_churn,
         lambda: history.edit_churn_sql(eq.MYSQL_CHANGELOG_SQL),
     ),
+    (
+        "ann_pq_topk",
+        eq.q_ann_pq_topk,
+        lambda: similarity.pq_topk_sql("embeddings"),
+    ),
 ]
 
 
