@@ -68,6 +68,11 @@ ROUND3 = [
     "vocab_rank_quality",
     "dedup_span",
     "dedup_semantic",
+    "scd2_history",
+    "scd2_asof",
+    "edit_churn",
+    "ann_pq_topk",
+    "ann_pq_topk_adc",
 ]
 
 

@@ -843,6 +843,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(_emb(spark, sf_dir))
 
 
+# NOT driver-registered: ADC table-lookup kernel — no SQL twin by
+# nature (numpy gather); rank-pinned against q_ann_pq_topk in
+# tests/test_pq.py, benched via bench.py --r3.
+def q_ann_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.pq_topk_adc(_emb(spark, sf_dir))
+
+
 # numpy/BLAS matmul kernel — `cos` differs from the fold at ~1e-16
 # (pairwise summation), but the RANKING is identical, so the registered
 # projection drops cos and oracle-checks (q_id, vec_id, rank) against the
