@@ -426,6 +426,62 @@ class MergeParquetSink:
             f.write(json.dumps({"compact": out}) + "\n")
         return out
 
+    def expire_conversations(
+        self, spark: SparkSession, older_than_seq: int, epoch_id: int
+    ) -> dict:
+        """Retention / right-to-erasure expiry: tombstone every LIVE
+        turn of every conversation whose last change (max ``seq`` over
+        ALL of its rows, deletes included — any change counts as
+        activity) is strictly below ``older_than_seq``.
+
+        Implemented as synthesized op='d' envelopes at
+        ``seq = older_than_seq`` pushed through the normal
+        :meth:`merge_changelog`, so the expiry is an ordinary epoch:
+        idempotent under replay (epoch-skip), totally ordered against
+        racing CDC traffic by the same LWW ord (every expired row's seq
+        is below the horizon, so the tombstone wins; a legitimate write
+        at seq ≥ horizon re-creates the key afterwards — CDC-consistent
+        resurrection, not a bug), and physically reclaimed later by
+        ``compact(prune_tombstones_below_seq=older_than_seq + 1)`` +
+        :meth:`vacuum` once the upstream can no longer replay below the
+        horizon. The caller owns epoch_id uniqueness vs the stream's
+        (use a disjoint range, e.g. negative epochs for maintenance).
+
+        Scale: one table scan (conv-grain partial-agg + semi join);
+        everything after is ∝ expired keys. No driver-side key list.
+        """
+        turn_t = (
+            "struct<conv_id:string,turn_idx:int,role:string,text:string,"
+            "tool:string,ts:timestamp>"
+        )
+        cur = self.read(spark)
+        expired = (
+            cur.groupBy("conv_id")
+            .agg(F.max("seq").alias("last_seq"))
+            .where(F.col("last_seq") < F.lit(older_than_seq))
+            .select("conv_id")
+        )
+        batch = (
+            cur.where(F.col("op") != "d")
+            .join(expired, "conv_id", "left_semi")
+            .select(
+                F.lit("d").alias("op"),
+                F.struct(
+                    F.col("conv_id"),
+                    F.col("turn_idx").cast("int").alias("turn_idx"),
+                    F.lit(None).cast("string").alias("role"),
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit(None).cast("string").alias("tool"),
+                    F.lit(None).cast("timestamp").alias("ts"),
+                ).alias("before"),
+                F.lit(None).cast(turn_t).alias("after"),
+                F.lit(older_than_seq).cast("long").alias("seq"),
+            )
+        )
+        result = self.merge_changelog(batch, epoch_id)
+        result["expired_below_seq"] = int(older_than_seq)
+        return result
+
     def file_stats(self) -> dict:
         """Referenced file count/bytes per the current manifest — the
         compaction trigger signal (files ≫ buckets ⇒ fragmented)."""

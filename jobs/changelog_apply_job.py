@@ -85,6 +85,16 @@ def main() -> None:
         help="after the stream drains, fold the sink into one version "
         "dir (pair with --vacuum to reclaim the superseded dirs)",
     )
+    ap.add_argument(
+        "--expire-below-seq",
+        type=int,
+        default=None,
+        help="after the stream drains, tombstone every conversation "
+        "whose last change seq is strictly below this horizon "
+        "(retention / right-to-erasure; runs as maintenance epoch -1 "
+        "through the same exactly-once MERGE — see "
+        "MergeParquetSink.expire_conversations)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("changelog-apply").getOrCreate()
@@ -195,6 +205,12 @@ def main() -> None:
         )
 
     maintenance = {}
+    if args.expire_below_seq is not None:
+        # expiry BEFORE compaction so a paired --compact can fold the
+        # fresh tombstones' version dir in the same run
+        maintenance["expiry"] = sink.expire_conversations(
+            spark, args.expire_below_seq, epoch_id=-1
+        )
     if args.compact:
         maintenance["compact"] = sink.compact(spark)
     if args.vacuum:

@@ -237,3 +237,75 @@ def test_compact_rebuckets_growing_table(spark, tmp_path):
     snap = resumed.snapshot(spark)
     assert snap.count() == 40
     assert snap.where("text != 'v2'").count() == 0
+
+
+# -- retention expiry ---------------------------------------------------
+
+
+def test_expiry_tombstones_only_stale_conversations(spark, tmp_path):
+    sink = MergeParquetSink(str(tmp_path / "t"), n_buckets=8)
+    sink.merge_changelog(
+        env_batch(
+            spark,
+            [
+                ("c", "old", 0, "a", 100),
+                ("c", "old", 1, "b", 120),
+                ("c", "edge", 0, "e", 500),   # max seq == horizon → kept
+                ("c", "fresh", 0, "x", 100),  # old turn ...
+                ("u", "fresh", 0, "x2", 900),  # ... but recent activity
+            ],
+        ),
+        0,
+    )
+    out = sink.expire_conversations(spark, older_than_seq=500, epoch_id=-1)
+    assert out["expired_below_seq"] == 500 and out["delta_rows"] == 2
+    assert snap_rows(spark, sink) == [
+        ("edge", 0, "e"),
+        ("fresh", 0, "x2"),
+    ]
+    # tombstones (not physical deletes) at the horizon seq
+    dead = (
+        sink.read(spark)
+        .where("op = 'd'")
+        .select("conv_id", "turn_idx", "seq")
+        .collect()
+    )
+    assert sorted((r[0], r[1], r[2]) for r in dead) == [
+        ("old", 0, 500),
+        ("old", 1, 500),
+    ]
+
+
+def test_expiry_is_idempotent_and_replay_safe(spark, tmp_path):
+    sink = MergeParquetSink(str(tmp_path / "t"), n_buckets=8)
+    sink.merge_changelog(
+        env_batch(spark, [("c", "old", 0, "a", 10), ("c", "new", 0, "n", 990)]),
+        0,
+    )
+    sink.expire_conversations(spark, 500, epoch_id=-1)
+    before = snap_rows(spark, sink)
+    # exact-epoch replay: skipped outright
+    again = sink.expire_conversations(spark, 500, epoch_id=-1)
+    assert again.get("skipped") is True
+    # fresh-epoch rerun: converges (nothing left below the horizon)
+    sink.expire_conversations(spark, 500, epoch_id=-2)
+    assert snap_rows(spark, sink) == before == [("new", 0, "n")]
+
+
+def test_expired_key_resurrects_on_newer_write_and_reclaims(spark, tmp_path):
+    sink = MergeParquetSink(str(tmp_path / "t"), n_buckets=8)
+    sink.merge_changelog(env_batch(spark, [("c", "old", 0, "a", 10)]), 0)
+    sink.expire_conversations(spark, 500, epoch_id=-1)
+    assert snap_rows(spark, sink) == []
+    # an out-of-order replay BELOW the horizon must NOT resurrect
+    sink.merge_changelog(env_batch(spark, [("c", "old", 0, "a", 10)]), 1)
+    assert snap_rows(spark, sink) == []
+    # a genuine write at/after the horizon re-creates the key (LWW)
+    sink.merge_changelog(env_batch(spark, [("c", "old", 0, "a2", 700)]), 2)
+    assert snap_rows(spark, sink) == [("old", 0, "a2")]
+    # physical reclaim: once upstream retention passed the horizon,
+    # compact prunes the (now-superseded or stale) tombstone rows
+    sink.expire_conversations(spark, 600, epoch_id=-3)  # no-op: active
+    sink.compact(spark, prune_tombstones_below_seq=501)
+    assert sink.read(spark).where("op = 'd' AND seq < 501").count() == 0
+    assert snap_rows(spark, sink) == [("old", 0, "a2")]
