@@ -216,6 +216,61 @@ def run_merge_amplification(cpus: int) -> dict:
     return out
 
 
+def _replay_protocol(
+    metric: str,
+    app_name: str,
+    make_and_stream,
+    cpus: int,
+    n_turns: int,
+    n_chunks: int,
+    files_per_trigger: int,
+) -> dict:
+    """Shared replay protocol for --streaming-replay / --ivm-replay:
+    synth changelog (same op mix as the scaling job) → seq-ordered
+    parquet spool (the in-sandbox binlog) → TIMED stream-only section →
+    post-timing row counts → teardown. Single-sourced so the pair of
+    numbers stays comparable (their delta is the measurement quoted in
+    BENCH/BASELINE.md).
+
+    ``make_and_stream(spark, root, spool, files_per_trigger)`` builds
+    its sinks and returns ``(stream_fn, count_fn)``; the harness times
+    ONLY ``stream_fn()`` and merges ``count_fn()``'s result fields
+    afterwards, so row counting never lands inside the timed window.
+    """
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+
+    spark = get_spark(app_name=app_name, cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix=app_name + "-")
+    try:
+        env = synth_envelopes(spark, n_turns)
+        n_env = env.count()
+        spool = os.path.join(root, "spool")
+        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+        stream_fn, count_fn = make_and_stream(
+            spark, root, spool, files_per_trigger
+        )
+        t0 = time.perf_counter()
+        stream_fn()
+        wall = time.perf_counter() - t0
+        return {
+            "metric": metric,
+            "value": round(n_env / wall),
+            "unit": "envelopes/sec",
+            "envelopes": n_env,
+            "wall_s": round(wall, 2),
+            **count_fn(),
+            "microbatches": n_chunks // files_per_trigger,
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_streaming_replay(
     cpus: int = 8,
     n_turns: int = 2_240_000,
@@ -224,52 +279,38 @@ def run_streaming_replay(
 ) -> dict:
     """End-to-end exactly-once streaming replay throughput.
 
-    Synth changelog (same op mix as the scaling job) → seq-ordered
-    parquet spool (the in-sandbox binlog) → file stream at
-    ``files_per_trigger`` → foreachBatch MERGE sink with checkpoint.
-    Timed section is the STREAM only (spooling excluded); reported
-    envelopes/s is the realistic-batch-size number BENCH/BASELINE.md
-    quotes (per-microbatch MERGE commit cost amortizes with batch
-    size — the reference's 1000-row/200ms JDBC flush analog).
+    File stream at ``files_per_trigger`` → foreachBatch MERGE sink with
+    checkpoint (protocol: :func:`_replay_protocol`). Timed section is
+    the STREAM only (spooling excluded); reported envelopes/s is the
+    realistic-batch-size number BENCH/BASELINE.md quotes
+    (per-microbatch MERGE commit cost amortizes with batch size — the
+    reference's 1000-row/200ms JDBC flush analog).
     """
-    import shutil
-    import tempfile
-
-    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
     from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
     from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
 
-    spark = get_spark(app_name="bench-replay", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="replay-bench-")
-    try:
-        env = synth_envelopes(spark, n_turns)
-        n_env = env.count()
-        spool = os.path.join(root, "spool")
-        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+    def make_and_stream(spark, root, spool, fpt):
         sink = MergeParquetSink(os.path.join(root, "table"))
-        t0 = time.perf_counter()
-        pl.materialize_stream(
-            spark,
-            spool,
-            sink,
-            os.path.join(root, "ckpt"),
-            max_files_per_trigger=files_per_trigger,
+        return (
+            lambda: pl.materialize_stream(
+                spark,
+                spool,
+                sink,
+                os.path.join(root, "ckpt"),
+                max_files_per_trigger=fpt,
+            ),
+            lambda: {"final_rows": sink.snapshot(spark).count()},
         )
-        wall = time.perf_counter() - t0
-        rows = sink.snapshot(spark).count()
-        return {
-            "metric": "streaming_replay_envelopes_per_sec",
-            "value": round(n_env / wall),
-            "unit": "envelopes/sec",
-            "envelopes": n_env,
-            "wall_s": round(wall, 2),
-            "final_rows": rows,
-            "microbatches": n_chunks // files_per_trigger,
-            "cpus": cpus,
-        }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    return _replay_protocol(
+        "streaming_replay_envelopes_per_sec",
+        "bench-replay",
+        make_and_stream,
+        cpus,
+        n_turns,
+        n_chunks,
+        files_per_trigger,
+    )
 
 
 def run_spooled(sf_dir: str, cpus: int) -> dict:
@@ -368,51 +409,41 @@ def run_ivm_replay(
     files_per_trigger: int = 2,
 ) -> dict:
     """Streaming replay that ALSO maintains the upsert-aware tumbling
-    window view per micro-batch (streaming/ivm.py). Same shape as
-    --streaming-replay, so the delta is the cost of keeping a windowed
-    aggregate transactionally consistent with the state table
-    (touched-conv recompute + grouped-replace commit per batch)."""
-    import shutil
-    import tempfile
-
-    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    window view per micro-batch (streaming/ivm.py). Same protocol as
+    --streaming-replay (:func:`_replay_protocol`), so the delta is the
+    cost of keeping a windowed aggregate transactionally consistent
+    with the state table (touched-conv recompute + grouped-replace
+    commit per batch)."""
     from flink_cdc_mysql_sink_to_mysql_spark.streaming import ivm
-    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
     from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
 
-    spark = get_spark(app_name="bench-ivm", cpus=cpus)
-    spark.sparkContext.setLogLevel("ERROR")
-    root = tempfile.mkdtemp(prefix="ivm-replay-")
-    try:
-        env = synth_envelopes(spark, n_turns)
-        n_env = env.count()
-        spool = os.path.join(root, "spool")
-        pl.spool_changelog(env, spool, n_chunks=n_chunks)
+    def make_and_stream(spark, root, spool, fpt):
         state = MergeParquetSink(os.path.join(root, "state"))
         view = ivm.GroupedReplaceParquetSink(os.path.join(root, "view"))
-        t0 = time.perf_counter()
-        ivm.windowed_state_stream(
-            spark,
-            spool,
-            state,
-            view,
-            os.path.join(root, "ckpt"),
-            max_files_per_trigger=files_per_trigger,
+        return (
+            lambda: ivm.windowed_state_stream(
+                spark,
+                spool,
+                state,
+                view,
+                os.path.join(root, "ckpt"),
+                max_files_per_trigger=fpt,
+            ),
+            lambda: {
+                "state_rows": state.snapshot(spark).count(),
+                "view_rows": view.read_view(spark).count(),
+            },
         )
-        wall = time.perf_counter() - t0
-        return {
-            "metric": "ivm_replay_envelopes_per_sec",
-            "value": round(n_env / wall),
-            "unit": "envelopes/sec",
-            "envelopes": n_env,
-            "wall_s": round(wall, 2),
-            "state_rows": state.snapshot(spark).count(),
-            "view_rows": view.read_view(spark).count(),
-            "microbatches": n_chunks // files_per_trigger,
-            "cpus": cpus,
-        }
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+
+    return _replay_protocol(
+        "ivm_replay_envelopes_per_sec",
+        "bench-ivm",
+        make_and_stream,
+        cpus,
+        n_turns,
+        n_chunks,
+        files_per_trigger,
+    )
 
 
 def run_json_replay(

@@ -158,7 +158,7 @@ ASOF_SEQ = 1705367014557
 
 
 # NOT driver-registered (50-query budget): SCD2 version history — every
-# text a turn ever had with its (valid_from, valid_to] interval; the
+# text a turn ever had with its [valid_from, valid_to) interval; the
 # history complement of cdc_apply_upsert's latest-image view. Local
 # oracle sweep (tests/test_unregistered_oracles.py) + semantic tests
 # (tests/test_history.py).

@@ -726,6 +726,17 @@ L2SQ_SQL = (
 )
 
 
+def _subvec(j: str, m: int) -> "Column":
+    """The PQ subvector slice — THE single partitioning invariant that
+    codebook construction, encoding, and training must agree on (the
+    DuckDB twin mirrors it in bracket-slice syntax). ``j`` is a SQL
+    expression (column name or int literal)."""
+    return F.expr(
+        f"slice(embedding, ({j}) * (size(embedding) div {m}) + 1,"
+        f" size(embedding) div {m})"
+    )
+
+
 def _codebook_rows(emb: DataFrame, m: int, k: int) -> DataFrame:
     """Deterministic sub-codebooks (j, cid, csub): subvector slices of
     the first ``k`` vec_ids — the same oracle-expressible corpus-sample
@@ -739,10 +750,7 @@ def _codebook_rows(emb: DataFrame, m: int, k: int) -> DataFrame:
         .select(
             "j",
             F.col("vec_id").alias("cid"),
-            F.expr(
-                f"slice(embedding, j * (size(embedding) div {m}) + 1,"
-                f" size(embedding) div {m})"
-            ).alias("csub"),
+            _subvec("j", m).alias("csub"),
         )
     )
     return sliced
@@ -771,10 +779,7 @@ def pq_encode(
     sub = emb.join(F.broadcast(cb.select("j").distinct())).select(
         "vec_id",
         "j",
-        F.expr(
-            f"slice(embedding, j * (size(embedding) div {m}) + 1,"
-            f" size(embedding) div {m})"
-        ).alias("vsub"),
+        _subvec("j", m).alias("vsub"),
     )
     scored = sub.join(cb, "j").select(
         "vec_id",
@@ -915,6 +920,7 @@ def pq_topk_adc(
     q_cap: int = Q_CAP,
     m: int = PQ_M,
     k: int = PQ_K,
+    codebooks: DataFrame | None = None,
 ) -> DataFrame:
     """Table-lookup ADC kernel — the scale path: scores each vector
     from its m CODES (no reconstructed array ever shuffles). Per Arrow
@@ -922,12 +928,16 @@ def pq_topk_adc(
     partial-dot table + a per-batch top-k cut, O(q_cap · m) per vector.
     Scores differ from :func:`pq_topk` only by float summation order
     (~1e-15); rank equality is pinned in tests, mirroring the
-    numpy-vs-fold precedent of cosine_topk_numpy."""
+    numpy-vs-fold precedent of cosine_topk_numpy. ``codebooks=`` takes
+    trained books (:func:`pq_codebooks_kmeans`) and is used for BOTH
+    the encode and the lookup table — the production combination of
+    trained books + codes-only scan."""
     import numpy as np
     import pandas as pd
 
+    cb_df = codebooks if codebooks is not None else _codebook_rows(emb, m, k)
     codes = (
-        pq_encode(emb, m, k)
+        pq_encode(emb, m, k, cb_df)
         .groupBy("vec_id")
         .agg(
             F.array_sort(
@@ -949,7 +959,7 @@ def pq_topk_adc(
         .select("vec_id", "embedding")
         .collect()
     )  # O(q_cap · dim) driver collect — bounded, corpus-independent
-    cbrows = _codebook_rows(emb, m, k).collect()  # O(m · k · dim/m)
+    cbrows = cb_df.select("j", "cid", "csub").collect()  # O(m·k·dim/m)
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     d = qmat.shape[1] // m
@@ -966,6 +976,8 @@ def pq_topk_adc(
         b_qids, b_pdot, b_qnrm = bc.value
         jj = np.arange(m)
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack would raise
+                continue
             iv = pdf["vec_id"].to_numpy()
             rn = pdf["r_nrm"].to_numpy()
             cmat = np.stack(pdf["codes"].to_numpy())  # (n, m) small ints
@@ -1022,10 +1034,7 @@ def pq_codebooks_kmeans(
     for j in range(m):
         feats = emb.select(
             array_to_vector(
-                F.expr(
-                    f"slice(embedding, {j} * (size(embedding) div {m}) + 1,"
-                    f" size(embedding) div {m})"
-                ).cast("array<double>")
+                _subvec(str(j), m).cast("array<double>")
             ).alias("features")
         )
         model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(feats)

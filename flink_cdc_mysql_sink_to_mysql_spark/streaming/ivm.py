@@ -146,9 +146,15 @@ def windowed_state_batch(envelopes: DataFrame, window: str = "10 minutes") -> Da
     after the stream drains, whatever the update/delete interleaving."""
     from ..operators.cdc import apply_changelog
 
+    return _window_rows(apply_changelog(envelopes), window)
+
+
+def _window_rows(live: DataFrame, window: str, slide: str | None = None) -> DataFrame:
+    # with slide, F.window(ts, W, S) multi-assigns each turn to its W/S
+    # covering windows — the recompute stays one hash agg per touched conv
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
-        apply_changelog(envelopes)
-        .groupBy(F.col("conv_id"), F.window("ts", window).alias("win"))
+        live.groupBy("conv_id", win.alias("win"))
         .agg(F.count(F.lit(1)).alias("n_turns"))
         .select(
             "conv_id",
@@ -160,31 +166,11 @@ def windowed_state_batch(envelopes: DataFrame, window: str = "10 minutes") -> Da
 
 
 def _tumbling_rows(live: DataFrame, window: str) -> DataFrame:
-    return (
-        live.groupBy("conv_id", F.window("ts", window).alias("win"))
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select(
-            "conv_id",
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "n_turns",
-        )
-    )
+    return _window_rows(live, window)
 
 
 def _sliding_rows(live: DataFrame, window: str, slide: str) -> DataFrame:
-    # F.window(ts, W, S) multi-assigns each turn to its W/S covering
-    # windows — the recompute stays one hash agg per touched conv
-    return (
-        live.groupBy("conv_id", F.window("ts", window, slide).alias("win"))
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select(
-            "conv_id",
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "n_turns",
-        )
-    )
+    return _window_rows(live, window, slide)
 
 
 def sliding_state_batch(

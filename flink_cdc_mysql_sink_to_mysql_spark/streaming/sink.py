@@ -70,6 +70,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.transcripts import _TURN_T
+
 MANIFEST = "_manifest.json"
 LINEAGE = "_lineage.jsonl"
 
@@ -427,7 +429,7 @@ class MergeParquetSink:
         return out
 
     def expire_conversations(
-        self, spark: SparkSession, older_than_seq: int, epoch_id: int
+        self, spark: SparkSession, older_than_seq: int, epoch_id: int | None = None
     ) -> dict:
         """Retention / right-to-erasure expiry: tombstone every LIVE
         turn of every conversation whose last change (max ``seq`` over
@@ -435,25 +437,34 @@ class MergeParquetSink:
         activity) is strictly below ``older_than_seq``.
 
         Implemented as synthesized op='d' envelopes at
-        ``seq = older_than_seq`` pushed through the normal
+        ``seq = older_than_seq - 1`` pushed through the normal
         :meth:`merge_changelog`, so the expiry is an ordinary epoch:
         idempotent under replay (epoch-skip), totally ordered against
-        racing CDC traffic by the same LWW ord (every expired row's seq
-        is below the horizon, so the tombstone wins; a legitimate write
-        at seq ≥ horizon re-creates the key afterwards — CDC-consistent
-        resurrection, not a bug), and physically reclaimed later by
+        racing CDC traffic by the same LWW ord (every expired LIVE row
+        has seq ≤ horizon-1 and op-rank < delete-rank, so the tombstone
+        wins; a legitimate write at seq ≥ horizon has a strictly higher
+        ord and re-creates the key — CDC-consistent resurrection, not a
+        bug; horizon-1, not horizon, so a write at EXACTLY the horizon
+        seq is not swallowed), and physically reclaimed later by
         ``compact(prune_tombstones_below_seq=older_than_seq + 1)`` +
         :meth:`vacuum` once the upstream can no longer replay below the
-        horizon. The caller owns epoch_id uniqueness vs the stream's
-        (use a disjoint range, e.g. negative epochs for maintenance).
+        horizon.
+
+        ``epoch_id`` defaults to ``-(older_than_seq + 2)``: a distinct
+        maintenance epoch per horizon inside the reserved negative range
+        (≤ -2; the bootstrap epoch is -1), so advancing the horizon
+        always applies while a replay of the SAME horizon epoch-skips —
+        which is semantically a no-op anyway, since a conversation's max
+        seq only grows and can never fall back under an already-applied
+        horizon. Callers overriding it own uniqueness vs the stream's
+        epochs (use the negative range).
 
         Scale: one table scan (conv-grain partial-agg + semi join);
         everything after is ∝ expired keys. No driver-side key list.
         """
-        turn_t = (
-            "struct<conv_id:string,turn_idx:int,role:string,text:string,"
-            "tool:string,ts:timestamp>"
-        )
+        if epoch_id is None:
+            epoch_id = -(int(older_than_seq) + 2)
+        turn_t = _TURN_T
         cur = self.read(spark)
         expired = (
             cur.groupBy("conv_id")
@@ -475,7 +486,7 @@ class MergeParquetSink:
                     F.lit(None).cast("timestamp").alias("ts"),
                 ).alias("before"),
                 F.lit(None).cast(turn_t).alias("after"),
-                F.lit(older_than_seq).cast("long").alias("seq"),
+                F.lit(older_than_seq - 1).cast("long").alias("seq"),
             )
         )
         result = self.merge_changelog(batch, epoch_id)

@@ -207,9 +207,12 @@ def main() -> None:
     maintenance = {}
     if args.expire_below_seq is not None:
         # expiry BEFORE compaction so a paired --compact can fold the
-        # fresh tombstones' version dir in the same run
+        # fresh tombstones' version dir in the same run; the maintenance
+        # epoch is horizon-derived (≤ -2, distinct from BOOTSTRAP_EPOCH),
+        # so advancing the horizon on a later run always applies instead
+        # of epoch-skipping
         maintenance["expiry"] = sink.expire_conversations(
-            spark, args.expire_below_seq, epoch_id=-1
+            spark, args.expire_below_seq
         )
     if args.compact:
         maintenance["compact"] = sink.compact(spark)

@@ -125,6 +125,23 @@ def test_trained_codebooks_contract_and_objective(emb):
     assert mse(sim.pq_codebooks_kmeans(emb)) < mse(None)
 
 
+def test_adc_kernel_accepts_trained_codebooks(emb):
+    """The production combination — trained books + codes-only ADC
+    scan — must rank identically to the reconstruction form under the
+    SAME books (the codebooks= contract advertised by
+    pq_codebooks_kmeans)."""
+    cb = sim.pq_codebooks_kmeans(emb, seed=7).persist()
+    try:
+        ref = sim.pq_topk(emb, codebooks=cb).select("q_id", "vec_id", "rank")
+        adc = sim.pq_topk_adc(emb, codebooks=cb).select(
+            "q_id", "vec_id", "rank"
+        )
+        assert ref.exceptAll(adc).count() == 0
+        assert adc.exceptAll(ref).count() == 0
+    finally:
+        cb.unpersist()
+
+
 def test_recall_floor_vs_exact(emb):
     """16-bit codes on this synthetic corpus: recall@5 measured 0.20 —
     assert a floor so a silent kernel regression (e.g. a broken gather)

@@ -263,7 +263,8 @@ def test_expiry_tombstones_only_stale_conversations(spark, tmp_path):
         ("edge", 0, "e"),
         ("fresh", 0, "x2"),
     ]
-    # tombstones (not physical deletes) at the horizon seq
+    # tombstones (not physical deletes) at horizon-1, so a legitimate
+    # write at EXACTLY the horizon seq still outranks them
     dead = (
         sink.read(spark)
         .where("op = 'd'")
@@ -271,9 +272,12 @@ def test_expiry_tombstones_only_stale_conversations(spark, tmp_path):
         .collect()
     )
     assert sorted((r[0], r[1], r[2]) for r in dead) == [
-        ("old", 0, 500),
-        ("old", 1, 500),
+        ("old", 0, 499),
+        ("old", 1, 499),
     ]
+    # boundary: a genuine insert at seq == horizon re-creates the key
+    sink.merge_changelog(env_batch(spark, [("c", "old", 0, "back", 500)]), 1)
+    assert ("old", 0, "back") in snap_rows(spark, sink)
 
 
 def test_expiry_is_idempotent_and_replay_safe(spark, tmp_path):
@@ -282,14 +286,40 @@ def test_expiry_is_idempotent_and_replay_safe(spark, tmp_path):
         env_batch(spark, [("c", "old", 0, "a", 10), ("c", "new", 0, "n", 990)]),
         0,
     )
-    sink.expire_conversations(spark, 500, epoch_id=-1)
+    sink.expire_conversations(spark, 500)
     before = snap_rows(spark, sink)
-    # exact-epoch replay: skipped outright
-    again = sink.expire_conversations(spark, 500, epoch_id=-1)
+    # same-horizon replay: derived epoch matches → skipped outright
+    again = sink.expire_conversations(spark, 500)
     assert again.get("skipped") is True
     # fresh-epoch rerun: converges (nothing left below the horizon)
-    sink.expire_conversations(spark, 500, epoch_id=-2)
+    sink.expire_conversations(spark, 500, epoch_id=-9999)
     assert snap_rows(spark, sink) == before == [("new", 0, "n")]
+
+
+def test_expiry_horizon_advances_and_coexists_with_bootstrap(spark, tmp_path):
+    """Recurring retention: each new horizon derives a DISTINCT
+    maintenance epoch, so the second run is applied, not epoch-skipped —
+    and neither collides with the reserved bootstrap epoch (-1)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+        BOOTSTRAP_EPOCH,
+    )
+
+    sink = MergeParquetSink(str(tmp_path / "t"), n_buckets=8)
+    # simulate a bootstrap-born sink: the snapshot epoch is -1
+    sink.merge_changelog(
+        env_batch(
+            spark,
+            [("r", "a", 0, "x", 100), ("r", "b", 0, "y", 700), ("r", "c", 0, "z", 1200)],
+        ),
+        BOOTSTRAP_EPOCH,
+    )
+    out1 = sink.expire_conversations(spark, 500)
+    assert not out1.get("skipped") and out1["delta_rows"] == 1
+    assert snap_rows(spark, sink) == [("b", 0, "y"), ("c", 0, "z")]
+    # a week later the horizon advances — must APPLY, not skip
+    out2 = sink.expire_conversations(spark, 900)
+    assert not out2.get("skipped") and out2["delta_rows"] == 1
+    assert snap_rows(spark, sink) == [("c", 0, "z")]
 
 
 def test_expired_key_resurrects_on_newer_write_and_reclaims(spark, tmp_path):
