@@ -547,6 +547,20 @@ def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): adaptive hot-key-only salting
+# (plans/skew.py defense #4) — detect hot conv_ids, salt only those;
+# SAME oracle as cohort_exist via tests/test_unregistered_oracles.py.
+COHORT_EXIST_ORACLE = cohort.rule_to_sql(
+    RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW
+)
+
+
+def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort.exist_conv_ids_adaptive(
+        _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. text analysis (training-data pipeline: lang-ID, quality, tokens, fp)
 # ---------------------------------------------------------------------------

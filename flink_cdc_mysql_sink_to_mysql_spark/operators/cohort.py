@@ -146,6 +146,48 @@ def exist_conv_ids_salted(
     return out.where(having).select("conv_id")
 
 
+def exist_conv_ids_adaptive(
+    events: DataFrame,
+    rule: CohortRule,
+    now: str,
+    buckets: int = 32,
+    min_frac: float = 0.01,
+) -> DataFrame:
+    """Adaptive-salting variant of :func:`exist_conv_ids`
+    (plans/skew.py defense #4): detect the conv_ids carrying
+    ≥ ``min_frac`` of the filtered events (≤ 1/min_frac keys, always
+    broadcastable), then two-phase ONLY those — the zipf tail keeps a
+    single partial row per conv instead of paying the ×buckets
+    partial-row tax blanket salting charges every key. Row-identical to
+    the direct form (algebraic aggregates) — checked against the SAME
+    DuckDB oracle in tests/test_unregistered_oracles.py.
+    """
+    from ..plans.skew import hot_keys, selective_salted_agg
+
+    df = events
+    kind = TARGET_TO_KIND.get(rule.target)
+    if kind is not None:
+        df = df.where(F.col("event_kind") == kind)
+    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
+
+    if not rule.sub_params:
+        return df.select("conv_id").distinct()
+
+    _DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
+    df = df.withColumn("_one", F.lit(1))
+    aggs = {f"_a{i}": _DIM_SALTED[sp.dimension] for i, sp in enumerate(rule.sub_params)}
+    conds = [
+        _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
+        for i, sp in enumerate(rule.sub_params)
+    ]
+    hot = hot_keys(df, ["conv_id"], min_frac=min_frac)
+    out = selective_salted_agg(
+        df, ["conv_id"], aggs, hot=hot, buckets=buckets, salt_source="seq"
+    )
+    having = reduce(lambda a, b: a & b, conds)
+    return out.where(having).select("conv_id")
+
+
 def not_exist_conv_ids(
     members: DataFrame, events: DataFrame, rule: CohortRule, now: str
 ) -> DataFrame:

@@ -24,6 +24,18 @@ what must scale).
 
 Each level runs in a fresh subprocess (own JVM) so neither JIT warmup
 nor executor reuse leaks between measurements.
+
+**CPU pinning (the headline protocol).** ``local[N]`` caps only task
+slots; the JVM's service threads (GC, shuffle, codegen compilation)
+and the forked Python workers may use any idle core on the host.
+``pin_cpus=True`` tasksets each leg's whole process tree to exactly
+its core count — the faithful model of an N-core executor container,
+where a cgroup cpuset bounds ALL threads. On an idle host the two
+protocols agree closely (measured 0.804 pinned vs 0.838 unpinned,
+median-of-3 vs single-shot at 10M turns); the pinned form is the
+headline because it is additionally robust to other processes on the
+host, whose load otherwise hits the wide leg hardest. Numbers in
+BENCH/BASELINE.md §1.
 """
 
 from __future__ import annotations
@@ -154,7 +166,7 @@ def run_once(cpus: int, n_turns: int) -> dict:
     }
 
 
-def _run_in_subprocess(cpus: int, n_turns: int) -> dict:
+def _run_in_subprocess(cpus: int, n_turns: int, pin_cpus: bool = False) -> dict:
     code = (
         "import json;"
         "from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import run_once;"
@@ -165,8 +177,22 @@ def _run_in_subprocess(cpus: int, n_turns: int) -> dict:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    argv = [sys.executable, "-c", code]
+    if pin_cpus:
+        # Confine the WHOLE process tree (JVM incl. GC/shuffle/codegen
+        # threads + forked Python workers, which inherit the affinity
+        # mask) to exactly `cpus` physical cores — the faithful model
+        # of an N-core executor container, where a cgroup cpuset bounds
+        # ALL threads, not just task slots. On an idle host the
+        # unpinned legs run only mildly faster (service threads use
+        # spare cores roughly proportionally at both levels: measured
+        # 0.838 unpinned vs 0.804 pinned), but pinning also makes the
+        # measurement robust to OTHER processes on the host, whose
+        # load otherwise hits the wide leg hardest (a contaminated
+        # unpinned pair once read 0.51).
+        argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
     proc = subprocess.run(
-        [sys.executable, "-c", code],
+        argv,
         capture_output=True,
         text=True,
         env=env,
@@ -186,6 +212,7 @@ def measure_scaling(
     cpus_hi: int = 8,
     n_turns: int | None = None,
     reps: int = 1,
+    pin_cpus: bool = False,
 ) -> dict:
     """N vs 4N measurement; returns both throughputs + efficiency.
 
@@ -194,13 +221,17 @@ def measure_scaling(
     takes the MEDIAN throughput per level — a shared VM's transient
     load then biases both levels alike instead of producing
     artifacts like the round-2 1.023 "efficiency" (a loaded-host
-    2-core run). bench.py keeps reps=1 (driver time budget)."""
+    2-core run). bench.py keeps reps=1 (driver time budget).
+
+    ``pin_cpus=True`` (the headline protocol) additionally taskset-pins
+    each leg to exactly its core count so local[N] behaves like an
+    N-core executor — see :func:`_run_in_subprocess`."""
     if n_turns is None:
         n_turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", DEFAULT_TURNS))
     los, his = [], []
     for _ in range(reps):
-        los.append(_run_in_subprocess(cpus_lo, n_turns))
-        his.append(_run_in_subprocess(cpus_hi, n_turns))
+        los.append(_run_in_subprocess(cpus_lo, n_turns, pin_cpus=pin_cpus))
+        his.append(_run_in_subprocess(cpus_hi, n_turns, pin_cpus=pin_cpus))
 
     def med(runs):
         # low-median: always an ACTUAL run record (throughput, wall and
@@ -229,4 +260,5 @@ def measure_scaling(
 
 if __name__ == "__main__":
     reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "1"))
-    print(json.dumps(measure_scaling(reps=reps), indent=2))
+    pin = bool(int(os.environ.get("SPARK_GRAFT_SCALING_PIN", "0")))
+    print(json.dumps(measure_scaling(reps=reps, pin_cpus=pin), indent=2))

@@ -22,6 +22,14 @@ layers of defense, composable:
    (conv_id, turn_idx) ever became hot — in practice the LWW key
    includes turn_idx, which already spreads hot conversations.
 
+4. **Adaptive (hot-key-only) salting** (:func:`hot_keys` +
+   :func:`selective_salted_agg`) — detect the keys that actually carry
+   ≥ min_frac of the rows (≤ 1/min_frac keys by construction, always
+   broadcastable), then salt ONLY those: the zipf head spreads across
+   buckets while the long tail keeps its optimal single-partial plan,
+   so the final combine never pays the ×buckets partial-row tax for
+   cold keys.
+
 Note what salting can NOT do (SURVEY.md §7 watch list): keyed *state*
 (session windows, stream-stream join state) is keyed by conv_id and
 cannot be salted without changing semantics — there the mitigation is
@@ -99,12 +107,18 @@ def salted_agg(
         )
 
     salt = salt_col(salt_source, buckets=buckets)
+    return _two_phase(df.withColumn("_salt", salt), keys, aggs)
+
+
+def _two_phase(
+    salted: DataFrame, keys: list[str], aggs: dict[str, tuple[str, str]]
+) -> DataFrame:
+    """groupBy(keys+_salt) partial → groupBy(keys) final (the shared
+    core of :func:`salted_agg` and :func:`selective_salted_agg`)."""
     partial_exprs = [
         getattr(F, fn)(col).alias(name) for name, (fn, col) in aggs.items()
     ]
-    partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
-        *partial_exprs
-    )
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_exprs)
     final_exprs = [
         (F.sum(name) if fn == "count" else getattr(F, fn)(name))
         .cast(partial.schema[name].dataType if fn != "count" else "long")
@@ -112,3 +126,68 @@ def salted_agg(
         for name, (fn, _) in aggs.items()
     ]
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def hot_keys(
+    df: DataFrame, keys: list[str], min_frac: float = 0.01
+) -> DataFrame:
+    """Keys carrying at least ``min_frac`` of the rows — the detection
+    half of adaptive skew handling. One scan of ``df`` (groupBy count);
+    the total is derived from the counts themselves (a scalar agg over
+    #groups rows, NOT a second raw scan), joined in as a broadcast
+    1-row literal so the filter stays in the same job.
+
+    The result is small by construction (≤ 1/min_frac rows — at
+    min_frac=0.01 at most 100 keys regardless of corpus size), so
+    callers can always ``F.broadcast`` it.
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
+    total = counts.agg(F.sum("_cnt").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .where(F.col("_cnt") >= F.col("_total") * F.lit(min_frac))
+        .select(*keys, F.col("_cnt").alias("hot_count"))
+    )
+
+
+def selective_salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    hot: DataFrame,
+    buckets: int = 32,
+    salt_source: str | None = None,
+) -> DataFrame:
+    """Adaptive two-phase aggregation: ONLY the keys listed in ``hot``
+    (e.g. from :func:`hot_keys`) are salted across ``buckets`` partial
+    groups; every cold key keeps a single partial row (salt 0). Same
+    contract as :func:`salted_agg` — algebraic aggregates, row-identical
+    to the direct groupBy — but the partial relation stays ≈ #groups
+    rows instead of #groups·buckets, so the final combine does not pay
+    the salting tax for the (vast) cold majority. One plan, no union:
+    rows are tagged hot via a broadcast left join on the key, and the
+    salt expression is conditional.
+
+    This is the right default at zipf scale: blanket salting multiplies
+    the partial row count by ``buckets`` for every key; hot-key-only
+    salting spreads the handful of keys that actually overflow a task
+    while leaving the long tail on the optimal single-partial plan.
+    """
+    unknown = {fn for fn, _ in aggs.values()} - _ALGEBRAIC
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s): {sorted(unknown)}")
+    if salt_source is None or salt_source in keys:
+        raise ValueError(
+            "selective_salted_agg needs a `salt_source` column that "
+            f"varies within a key (got {salt_source!r}); salting by the "
+            "group key alone yields the same groups as the unsalted plan"
+        )
+    marker = F.broadcast(
+        hot.select(*keys).withColumn("_hot", F.lit(True))
+    )
+    salted = df.join(marker, keys, "left").withColumn(
+        "_salt",
+        F.when(F.col("_hot"), salt_col(salt_source, buckets=buckets))
+        .otherwise(F.lit(0)),
+    ).drop("_hot")
+    return _two_phase(salted, keys, aggs)

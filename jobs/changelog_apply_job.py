@@ -91,9 +91,21 @@ def main() -> None:
         default=None,
         help="after the stream drains, tombstone every conversation "
         "whose last change seq is strictly below this horizon "
-        "(retention / right-to-erasure; runs as maintenance epoch -1 "
-        "through the same exactly-once MERGE — see "
+        "(retention / right-to-erasure; runs as a horizon-derived "
+        "maintenance epoch through the same exactly-once MERGE — see "
         "MergeParquetSink.expire_conversations)",
+    )
+    ap.add_argument(
+        "--auto-compact-factor",
+        type=float,
+        default=None,
+        help="compact only when fragmented: after the stream drains, "
+        "fold the sink iff referenced files exceed FACTOR x buckets "
+        "(each microbatch rewrites its touched buckets into a new "
+        "version dir, so files grow ~ microbatches x touched buckets "
+        "between compactions; 3-4 is a sensible cron default — "
+        "unconditional --compact pays the full-table rewrite even "
+        "when the sink is already tight)",
     )
     args = ap.parse_args()
 
@@ -216,6 +228,10 @@ def main() -> None:
         )
     if args.compact:
         maintenance["compact"] = sink.compact(spark)
+    elif args.auto_compact_factor is not None:
+        maintenance["auto_compact"] = sink.maybe_compact(
+            spark, args.auto_compact_factor
+        )
     if args.vacuum:
         v = sink.vacuum()
         maintenance["vacuum"] = {

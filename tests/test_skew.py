@@ -77,6 +77,86 @@ def test_salted_agg_spreads_hot_key(spark, skewed):
     assert n_groups > 1, "hot key collapsed to a single salted group"
 
 
+def test_hot_keys_detects_planted_head_and_is_bounded(spark, skewed):
+    """hot_keys finds the 50x key, no tail key, and its result size is
+    bounded by 1/min_frac regardless of corpus size."""
+    hot = skew.hot_keys(skewed, ["key"], min_frac=0.05).collect()
+    assert [r.key for r in hot] == ["hot"]
+    assert hot[0].hot_count == 10_000
+    every = skew.hot_keys(skewed, ["key"], min_frac=0.001)
+    assert every.count() <= 1000  # the structural bound
+
+
+def test_selective_salted_agg_equals_direct(spark, skewed):
+    direct = {
+        r.key: (r.s, r.c, r.mn, r.mx)
+        for r in skewed.groupBy("key")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    hot = skew.hot_keys(skewed, ["key"], min_frac=0.05)
+    adaptive = {
+        r.key: (r.s, r.c, r.mn, r.mx)
+        for r in skew.selective_salted_agg(
+            skewed,
+            ["key"],
+            {
+                "s": ("sum", "v"),
+                "c": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            hot=hot,
+            buckets=16,
+            salt_source="v",
+        ).collect()
+    }
+    assert adaptive == direct
+
+
+def test_selective_salting_spreads_hot_only(spark, skewed):
+    """The point of the adaptive plan: the hot key spans >1 partial
+    group, every cold key keeps exactly one — the partial relation
+    stays ≈ #groups rows, not #groups×buckets."""
+    hot = skew.hot_keys(skewed, ["key"], min_frac=0.05)
+    marker = F.broadcast(
+        hot.select("key").withColumn("_hot", F.lit(True))
+    )
+    partial = (
+        skewed.join(marker, ["key"], "left")
+        .withColumn(
+            "_salt",
+            F.when(F.col("_hot"), skew.salt_col("v", buckets=16)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy("key", "_salt")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_partials"))
+    )
+    rows = {r.key: r.n_partials for r in partial.collect()}
+    assert rows.pop("hot") > 1
+    assert set(rows.values()) == {1}
+
+
+def test_selective_salted_agg_guards(spark, skewed):
+    hot = skew.hot_keys(skewed, ["key"], min_frac=0.05)
+    with pytest.raises(ValueError):
+        skew.selective_salted_agg(
+            skewed, ["key"], {"a": ("avg", "v")}, hot=hot, salt_source="v"
+        )
+    with pytest.raises(ValueError):
+        skew.selective_salted_agg(
+            skewed, ["key"], {"s": ("sum", "v")}, hot=hot, salt_source="key"
+        )
+
+
 def test_repartition_salted_requires_secondary(skewed):
     with pytest.raises(ValueError):
         skew.repartition_salted(skewed, "key", buckets=16)

@@ -21,6 +21,9 @@ plus the round-3 extension operators added after the registry filled:
                               document rewrite, ExactSubstr-style)
 - dedup_semantic             (SemDeDup: cluster-scoped embedding
                               near-dup keep-first removal)
+- cohort_exist_adaptive      (hot-key-only selective salting, same
+                              oracle as cohort_exist — plans/skew.py
+                              defense #4)
 """
 
 from __future__ import annotations
@@ -101,6 +104,11 @@ CASES = [
         "ann_pq_topk",
         eq.q_ann_pq_topk,
         lambda: similarity.pq_topk_sql("embeddings"),
+    ),
+    (
+        "cohort_exist_adaptive",
+        eq.q_cohort_exist_adaptive,
+        lambda: eq.COHORT_EXIST_ORACLE,
     ),
 ]
 
