@@ -159,6 +159,7 @@ def materialize_stream(
     max_files_per_trigger: int | None = 1,
     lineage_path: str | None = None,
     mongo_spool_dir: str | None = None,
+    track_hot_convs: int | None = None,
 ):
     """Run the changelog→table materialization as a stream, available-now.
 
@@ -170,6 +171,16 @@ def materialize_stream(
     two are unioned (U1 — the reference's connect+CoMap,
     UserBehaviorClickHouseSinkJob.java:66,103-113) before the sink;
     Structured Streaming unions streaming DataFrames natively.
+
+    ``track_hot_convs=N`` (opt-in) records each micro-batch's top-N
+    conversations by envelope count to ``lineage_path + '.hot.jsonl'``
+    — the ONLINE half of skew handling (plans/skew.py defense #4):
+    operators watch this feed to decide which keys need selective
+    salting, and an SRE watches it to see a hot conversation forming
+    before it shows up as a straggler task. Cost: one bounded
+    (top-N collect) agg per micro-batch over the already-persisted
+    batch. Replayed (epoch-skipped) batches are NOT re-recorded, so
+    the feed stays exactly-once alongside the sink.
     """
     from ..operators import cdc
 
@@ -189,15 +200,46 @@ def materialize_stream(
         ).alias("convs"),
     )
 
+    hot_path = (lineage_path or checkpoint_dir) + ".hot.jsonl"
+
+    def _batch(df, eid):
+        if not track_hot_convs:
+            return sink.merge_changelog(df, eid)
+        df = df.persist()
+        try:
+            out = sink.merge_changelog(df, eid)
+            if not out.get("skipped"):
+                key = F.coalesce(
+                    F.col("after.conv_id"), F.col("before.conv_id")
+                )
+                top = (
+                    df.groupBy(key.alias("conv_id"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .orderBy(F.desc("n"), F.asc("conv_id"))
+                    .limit(track_hot_convs)
+                    .collect()  # bounded: ≤ track_hot_convs rows
+                )
+                with open(hot_path, "a") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "epoch": eid,
+                                "hot": [[r["conv_id"], r["n"]] for r in top],
+                            }
+                        )
+                        + "\n"
+                    )
+            return out
+        finally:
+            df.unpersist()
+
     listener = None
     if lineage_path:
         listener = LineageListener(lineage_path)
         spark.streams.addListener(listener)
     try:
         q = (
-            env.writeStream.foreachBatch(
-                lambda df, eid: sink.merge_changelog(df, eid)
-            )
+            env.writeStream.foreachBatch(_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start()

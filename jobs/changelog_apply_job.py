@@ -96,6 +96,16 @@ def main() -> None:
         "MergeParquetSink.expire_conversations)",
     )
     ap.add_argument(
+        "--track-hot-convs",
+        type=int,
+        default=None,
+        help="record each micro-batch's top-N conversations by envelope "
+        "count to <workdir>/lineage.jsonl.hot.jsonl — the online half "
+        "of adaptive skew handling (plans/skew.py defense #4); "
+        "exactly-once alongside the sink (replayed batches are not "
+        "re-recorded)",
+    )
+    ap.add_argument(
         "--auto-compact-factor",
         type=float,
         default=None,
@@ -205,6 +215,7 @@ def main() -> None:
             ckpt,
             lineage_path=lineage,
             mongo_spool_dir=mongo_spool,
+            track_hot_convs=args.track_hot_convs,
         )
     else:
         pl.materialize_stream(
@@ -214,6 +225,7 @@ def main() -> None:
             ckpt,
             lineage_path=lineage,
             mongo_spool_dir=mongo_spool,
+            track_hot_convs=args.track_hot_convs,
         )
 
     maintenance = {}

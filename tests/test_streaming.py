@@ -64,6 +64,47 @@ def test_stream_matches_batch_golden(spark, tmp_path, golden):
     assert sum(r["delta_rows"] for r in sink_lineage) == env.count()
 
 
+def test_hot_conv_tracking_records_planted_head(spark, tmp_path, golden):
+    """track_hot_convs: each micro-batch's top-N conversations land in
+    the .hot.jsonl feed exactly-once, hottest first — the online half
+    of adaptive skew handling (plans/skew.py defense #4)."""
+    env = mysql_changelog(spark, SF)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=2)
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    lineage = str(tmp_path / "lineage.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    pl.materialize_stream(
+        spark, spool, sink, ckpt, lineage_path=lineage, track_hot_convs=3
+    )
+    assert rows_of(sink.snapshot(spark)) == golden  # tracking ⟂ result
+    hot_path = lineage + ".hot.jsonl"
+    recs = [json.loads(l) for l in open(hot_path)]
+    assert [r["epoch"] for r in recs] == [0, 1]
+    for r in recs:
+        assert 1 <= len(r["hot"]) <= 3
+        counts = [n for _, n in r["hot"]]
+        assert counts == sorted(counts, reverse=True)
+    # ground truth for batch 0: the spool's first chunk, counted exactly
+    chunk0 = spark.read.parquet(os.path.join(spool, "chunk-001.parquet"))
+    top0 = (
+        chunk0.groupBy(
+            F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias("c")
+        )
+        .count()
+        .orderBy(F.desc("count"), F.asc("c"))
+        .limit(3)
+        .collect()
+    )
+    assert [[r["c"], r["count"]] for r in top0] == recs[0]["hot"]
+    # replay: stream is checkpoint-complete AND epochs are committed —
+    # a re-run appends nothing (exactly-once alongside the sink)
+    pl.materialize_stream(
+        spark, spool, sink, ckpt, lineage_path=lineage, track_hot_convs=3
+    )
+    assert len(open(hot_path).readlines()) == 2
+
+
 def test_checkpoint_resume(spark, tmp_path, golden):
     env = mysql_changelog(spark, SF).orderBy("seq")
     spool = str(tmp_path / "spool")
