@@ -313,6 +313,71 @@ def run_streaming_replay(
     )
 
 
+def run_skew_compare(cpus: int = 8, n_turns: int = 10_000_000) -> dict:
+    """Direct vs blanket-salted vs adaptive (hot-key-only) salted
+    aggregation on the zipf-skewed synthetic changelog (5% of turns in
+    ONE hot conversation): the same cohort rule evaluated three ways,
+    equal results asserted, wall clock per plan. Quantifies skew
+    defense #4 (plans/skew.py): adaptive pays the hot-key detection
+    scan but keeps the partial relation ≈ #groups rows, where blanket
+    salting multiplies it by `buckets` for every cold key."""
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, cohort
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
+    from flink_cdc_mysql_sink_to_mysql_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-skew", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    rule = cohort.CohortRule(
+        target=1,
+        is_exist=True,
+        value_days=60,  # covers the whole synthetic ts range
+        sub_params=(
+            cohort.SubParam(2, 2, 2),  # COUNT(*) >= 2
+            cohort.SubParam(1, 0, 0),  # SUM(metric) > 0
+        ),
+    )
+    now = "2024-01-30 00:00:00"
+    events = cdc.derive_turn_events(synth_envelopes(spark, n_turns)).persist()
+    n_events = events.count()  # materialize once; all three plans share it
+
+    def _count(df):
+        return df.count()
+
+    variants = {
+        "direct": lambda: cohort.exist_conv_ids(events, rule, now),
+        "salted_blanket": lambda: cohort.exist_conv_ids_salted(
+            events, rule, now
+        ),
+        "adaptive_hot_only": lambda: cohort.exist_conv_ids_adaptive(
+            events, rule, now
+        ),
+        "adaptive_sampled_detect": lambda: cohort.exist_conv_ids_adaptive(
+            events, rule, now, sample_frac=0.02
+        ),
+    }
+    _count(variants["direct"]())  # warm-up (JIT)
+    times: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for _ in range(2):
+        for name, fn in variants.items():
+            t0 = time.perf_counter()
+            counts[name] = _count(fn())
+            wall = round(time.perf_counter() - t0, 3)
+            if name not in times or wall < times[name]:
+                times[name] = wall
+    events.unpersist()
+    assert len(set(counts.values())) == 1, counts  # same cohort, 3 plans
+    return {
+        "metric": "skew_compare_wall_seconds",
+        "value": times,
+        "unit": "sec",
+        "events": n_events,
+        "cohort_rows": counts["direct"],
+        "cpus": cpus,
+        "reps": 2,
+    }
+
+
 def run_spooled(sf_dir: str, cpus: int) -> dict:
     """Envelope-family operator cost over a pre-spooled changelog.
 
@@ -683,6 +748,10 @@ def main() -> None:
 
     if "--bootstrap-compare" in sys.argv:
         print(json.dumps(run_bootstrap_compare(cpus=min(cpus, 8))))
+        return
+
+    if "--skew-compare" in sys.argv:
+        print(json.dumps(run_skew_compare(cpus=min(cpus, 8))))
         return
 
     if "--spooled" in sys.argv:

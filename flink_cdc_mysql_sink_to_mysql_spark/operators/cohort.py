@@ -152,6 +152,7 @@ def exist_conv_ids_adaptive(
     now: str,
     buckets: int = 32,
     min_frac: float = 0.01,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """Adaptive-salting variant of :func:`exist_conv_ids`
     (plans/skew.py defense #4): detect the conv_ids carrying
@@ -180,7 +181,7 @@ def exist_conv_ids_adaptive(
         _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
         for i, sp in enumerate(rule.sub_params)
     ]
-    hot = hot_keys(df, ["conv_id"], min_frac=min_frac)
+    hot = hot_keys(df, ["conv_id"], min_frac=min_frac, sample_frac=sample_frac)
     out = selective_salted_agg(
         df, ["conv_id"], aggs, hot=hot, buckets=buckets, salt_source="seq"
     )

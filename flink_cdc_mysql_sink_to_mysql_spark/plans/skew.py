@@ -30,6 +30,17 @@ layers of defense, composable:
    so the final combine never pays the ×buckets partial-row tax for
    cold keys.
 
+**Measured decision rule** (bench.py --skew-compare, BENCH/BASELINE.md
+§2h): for ALGEBRAIC aggregates, use the DIRECT plan — Spark's map-side
+partial aggregation already reduces a hot key to one row per task
+before the shuffle, and the direct form measured ~2× faster than any
+salted variant on the 5%-hot zipf changelog. Reach for salting only
+where partial agg cannot compress (collect-heavy payloads,
+distinct-like aggregates); there prefer the adaptive form with sampled
+detection — blanket salting ships #groups×buckets partial rows, which
+at high key cardinality is the difference between a working plan and a
+32× bigger shuffle.
+
 Note what salting can NOT do (SURVEY.md §7 watch list): keyed *state*
 (session windows, stream-stream join state) is keyed by conv_id and
 cannot be salted without changing semantics — there the mitigation is
@@ -129,7 +140,11 @@ def _two_phase(
 
 
 def hot_keys(
-    df: DataFrame, keys: list[str], min_frac: float = 0.01
+    df: DataFrame,
+    keys: list[str],
+    min_frac: float = 0.01,
+    sample_frac: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Keys carrying at least ``min_frac`` of the rows — the detection
     half of adaptive skew handling. One scan of ``df`` (groupBy count);
@@ -137,16 +152,32 @@ def hot_keys(
     #groups rows, NOT a second raw scan), joined in as a broadcast
     1-row literal so the filter stays in the same job.
 
-    The result is small by construction (≤ 1/min_frac rows — at
-    min_frac=0.01 at most 100 keys regardless of corpus size), so
-    callers can always ``F.broadcast`` it.
+    ``sample_frac`` runs the detection on a seeded Bernoulli sample
+    instead of the full input — sound for THIS purpose because a hot
+    key is by definition frequent: a key at true fraction p lands in a
+    q-sample with expected count p·q·n, and at p ≥ min_frac = 0.01,
+    q·n ≥ 10⁵ the relative error is ~(p·q·n)^-½ ≤ 3%. Detection is
+    advisory (a missed borderline key only means one key stays on the
+    direct plan), so the variance trade is safe; hot_count is then an
+    ESTIMATE (scaled back up by 1/q).
+
+    The result is small by construction (≤ 1/min_frac rows in
+    expectation — at min_frac=0.01 about 100 keys regardless of corpus
+    size), so callers can always ``F.broadcast`` it.
     """
+    scale = 1.0
+    if sample_frac is not None:
+        df = df.sample(fraction=sample_frac, seed=seed)
+        scale = 1.0 / sample_frac
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_cnt"))
     total = counts.agg(F.sum("_cnt").alias("_total"))
     return (
         counts.join(F.broadcast(total))
         .where(F.col("_cnt") >= F.col("_total") * F.lit(min_frac))
-        .select(*keys, F.col("_cnt").alias("hot_count"))
+        .select(
+            *keys,
+            (F.col("_cnt") * F.lit(scale)).cast("long").alias("hot_count"),
+        )
     )
 
 

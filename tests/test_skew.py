@@ -85,6 +85,13 @@ def test_hot_keys_detects_planted_head_and_is_bounded(spark, skewed):
     assert hot[0].hot_count == 10_000
     every = skew.hot_keys(skewed, ["key"], min_frac=0.001)
     assert every.count() <= 1000  # the structural bound
+    # sampled detection still finds the 50x head; hot_count is a
+    # scaled estimate within a loose tolerance
+    sampled = skew.hot_keys(
+        skewed, ["key"], min_frac=0.05, sample_frac=0.2
+    ).collect()
+    assert [r.key for r in sampled] == ["hot"]
+    assert 7_000 <= sampled[0].hot_count <= 13_000
 
 
 def test_selective_salted_agg_equals_direct(spark, skewed):
