@@ -73,6 +73,8 @@ ROUND3 = [
     "edit_churn",
     "ann_pq_topk",
     "ann_pq_topk_adc",
+    "cohort_exist_adaptive",
+    "search_live_state",
 ]
 
 

@@ -561,6 +561,18 @@ def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): semantic search over the
+# LIVE CDC state — embed what the changelog has materialized and serve
+# broadcast top-k cosine over it (operators/semsearch.py; the A+B
+# bridge). SAME-oracle sweep in tests/test_unregistered_oracles.py.
+def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import semsearch
+
+    return semsearch.search_live_state(
+        cdc.apply_changelog(changelog_envelopes(spark, sf_dir))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 8. text analysis (training-data pipeline: lang-ID, quality, tokens, fp)
 # ---------------------------------------------------------------------------

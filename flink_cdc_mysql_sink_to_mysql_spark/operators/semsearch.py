@@ -1,0 +1,156 @@
+"""Semantic search over the LIVE CDC state — the A+B bridge.
+
+The north rule grafts a streaming CDC engine (axis A) onto an
+LLM-transcript corpus with embedding workloads (axis B); this module
+closes the loop: embed the corpus the changelog has materialized
+RIGHT NOW (`cdc.apply_changelog` → LWW state) and serve top-k cosine
+search over it with the same broadcast-query kernel as the ANN stack.
+Against the reference (a sink-to-MySQL CDC pipe with no search
+surface) this is pure extension — the "query the maintained table"
+analog of its downstream consumers.
+
+**The embedder is a deterministic stand-in, not a model** (the
+sandbox ships no embedding model): dim-16 vector of
+``ascii(substr(md5(text), i, 1))`` — engine-portable (md5/ascii exist
+verbatim in Spark AND DuckDB, so the oracle gate checks real parity),
+cheap (one md5 per turn, narrow projection), and obviously
+non-semantic. A real encoder drops in as an Arrow-batched
+``pandas_udf(array<float>)`` with nothing downstream changing — the
+same gated-stub pattern as `operators/multimodal.py`'s decode.
+
+Scale shape: embedding is a narrow per-row projection over the state
+(no shuffle beyond apply_changelog's one agg); the query side is a
+fixed ≤ Q_CAP set (deterministic filter → tiny global sort → limit —
+bounded regardless of corpus size, the round-2 ANN lesson) joined by
+broadcast; per-query top-k is one window pass (WindowGroupLimit),
+O(n · Q_CAP) total with no candidate explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import DOT_SQL, dot_fold, norm_fold
+
+EMB_DIM = 16
+SEARCH_TOPK = 5
+#: queries: first-turn texts of conv_ids ending in '0', first Q_CAP in
+#: conv_id order — deterministic, bounded, expressible in both engines
+SEARCH_Q_CAP = 16
+
+
+def text_embedding(col: Column, dim: int = EMB_DIM) -> Column:
+    """Deterministic text → array<double> (see module doc). md5 hex is
+    32 chars; dim ≤ 32 ascii codes of the prefix."""
+    h = F.md5(F.coalesce(col, F.lit("")))
+    return F.array(
+        *[F.ascii(F.substring(h, i + 1, 1)).cast("double") for i in range(dim)]
+    )
+
+
+def _embedding_sql(col: str, dim: int = EMB_DIM) -> str:
+    parts = ", ".join(
+        f"CAST(ascii(substr(md5(coalesce({col}, '')), {i + 1}, 1)) AS DOUBLE)"
+        for i in range(dim)
+    )
+    return f"[{parts}]"
+
+
+def search_live_state(
+    state: DataFrame,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+) -> DataFrame:
+    """Top-k cosine neighbors for each query turn over the materialized
+    corpus. ``state`` is the LWW state (conv_id, turn_idx, text, …).
+    Returns (q_conv, q_turn, conv_id, turn_idx, cos, rank)."""
+    emb = state.select(
+        "conv_id",
+        "turn_idx",
+        text_embedding(F.col("text")).alias("emb"),
+    ).withColumn("nrm", norm_fold(F.col("emb")))
+    q = F.broadcast(
+        emb.where((F.col("turn_idx") == 0) & F.col("conv_id").endswith("0"))
+        .orderBy("conv_id")
+        .limit(q_cap)
+        .select(
+            F.col("conv_id").alias("q_conv"),
+            F.col("turn_idx").alias("q_turn"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    scored = q.join(
+        emb,
+        (F.col("q_conv") != F.col("conv_id"))
+        | (F.col("q_turn") != F.col("turn_idx")),
+    ).select(
+        "q_conv",
+        "q_turn",
+        "conv_id",
+        "turn_idx",
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("emb")),
+            F.col("q_nrm") * F.col("nrm"),
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("q_conv", "q_turn").orderBy(
+        F.col("cos").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "q_conv",
+            "q_turn",
+            "conv_id",
+            "turn_idx",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def search_live_state_sql(
+    state_rel: str,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+) -> str:
+    """DuckDB twin: same embedder, same fold order, same tiebreak.
+    ``state_rel`` is a SQL relation producing the LWW state
+    (conv_id, turn_idx, text)."""
+    e = _embedding_sql("text")
+    dot = DOT_SQL.format(a="q.emb", b="c.emb")
+    return f"""
+    WITH st AS ({state_rel}),
+    emb AS (
+      SELECT conv_id, turn_idx, {e} AS emb FROM st
+    ),
+    nemb AS (
+      SELECT conv_id, turn_idx, emb,
+             sqrt({DOT_SQL.format(a="emb", b="emb")}) AS nrm
+      FROM emb
+    ),
+    q AS (
+      SELECT conv_id AS q_conv, turn_idx AS q_turn, emb, nrm
+      FROM nemb
+      WHERE turn_idx = 0 AND conv_id LIKE '%0'
+      ORDER BY conv_id LIMIT {q_cap}
+    ),
+    scored AS (
+      SELECT q.q_conv, q.q_turn, c.conv_id, c.turn_idx,
+             ({dot}) / (q.nrm * c.nrm) AS cos
+      FROM q JOIN nemb c
+        ON q.q_conv != c.conv_id OR q.q_turn != c.turn_idx
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_conv, q_turn
+               ORDER BY cos DESC, conv_id ASC, turn_idx ASC) AS rank
+      FROM scored
+    )
+    SELECT q_conv, q_turn, conv_id, turn_idx, cos,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {topk}
+    """

@@ -1,0 +1,70 @@
+"""Semantic search over the live CDC state (operators/semsearch.py).
+
+Oracle parity runs in tests/test_unregistered_oracles.py; here the
+operator-level properties: embedder determinism/shape, query-set
+boundedness, self-exclusion, rank contract, and the broadcast plan
+shape that keeps the kernel O(n · q_cap)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, semsearch
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+    changelog_envelopes,
+)
+from tests.conftest import SF_CORRECT
+
+
+@pytest.fixture(scope="module")
+def state(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cdc.apply_changelog(changelog_envelopes(spark, SF_CORRECT)).persist()
+
+
+def test_embedding_deterministic_and_shaped(spark):
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), (None,)], "text string"
+    ).select(semsearch.text_embedding(F.col("text")).alias("e"))
+    rows = [r.e for r in df.collect()]
+    assert rows[0] == rows[1]  # same text → same vector
+    assert rows[0] != rows[2]
+    assert all(len(e) == semsearch.EMB_DIM for e in rows)
+    # md5 hex chars → ascii codes land in [48,57] ∪ [97,102]
+    assert all(48 <= v <= 102 for e in rows for v in e)
+    assert rows[3] is not None  # NULL text embeds (as empty string)
+
+
+def test_search_contract(state):
+    out = semsearch.search_live_state(state).persist()
+    try:
+        per_q = (
+            out.groupBy("q_conv", "q_turn")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.collect_list("rank").alias("ranks"),
+            )
+            .collect()
+        )
+        assert 0 < len(per_q) <= semsearch.SEARCH_Q_CAP
+        for r in per_q:
+            assert r.n <= semsearch.SEARCH_TOPK
+            assert sorted(r.ranks) == list(range(1, r.n + 1))
+        # a query never returns itself
+        assert (
+            out.where(
+                (F.col("q_conv") == F.col("conv_id"))
+                & (F.col("q_turn") == F.col("turn_idx"))
+            ).count()
+            == 0
+        )
+    finally:
+        out.unpersist()
+
+
+def test_search_plan_broadcasts_queries(state):
+    plan = semsearch.search_live_state(state)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # per-query top-k runs as a rank-limit window, not a global sort
+    assert "WindowGroupLimit" in plan

@@ -24,6 +24,10 @@ plus the round-3 extension operators added after the registry filled:
 - cohort_exist_adaptive      (hot-key-only selective salting, same
                               oracle as cohort_exist — plans/skew.py
                               defense #4)
+- search_live_state          (semantic search over the materialized
+                              CDC state: deterministic cross-engine
+                              embedder + broadcast top-k cosine —
+                              operators/semsearch.py)
 """
 
 from __future__ import annotations
@@ -109,6 +113,16 @@ CASES = [
         "cohort_exist_adaptive",
         eq.q_cohort_exist_adaptive,
         lambda: eq.COHORT_EXIST_ORACLE,
+    ),
+    (
+        "search_live_state",
+        eq.q_search_live_state,
+        lambda: __import__(
+            "flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
+            fromlist=["search_live_state_sql"],
+        ).search_live_state_sql(
+            f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
+        ),
     ),
 ]
 
