@@ -57,6 +57,59 @@ def _embedding_sql(col: str, dim: int = EMB_DIM) -> str:
     return f"[{parts}]"
 
 
+def embedding_rows(state: DataFrame) -> DataFrame:
+    """LWW state → the embedding-index row form (conv_id, turn_idx,
+    emb, nrm): a narrow per-row projection, shared by the batch search
+    and the streaming-maintained index (:func:`embedding_index_stream`)
+    so both populate identical rows."""
+    return state.select(
+        "conv_id",
+        "turn_idx",
+        text_embedding(F.col("text")).alias("emb"),
+    ).withColumn("nrm", norm_fold(F.col("emb")))
+
+
+#: sink schema for the maintained index view (incl. the sink's stored
+#: bucket column, like SESSION_VIEW_DDL)
+INDEX_VIEW_DDL = (
+    "conv_id string, turn_idx int, emb array<double>, nrm double,"
+    " bucket int"
+)
+
+
+def embedding_index_stream(
+    spark,
+    spool_dir: str,
+    state_sink,
+    index_sink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming-maintained embedding index: per micro-batch, MERGE the
+    changelog into the state table and re-embed ONLY the touched
+    conversations into a grouped-replace index view — edits re-embed,
+    deletes drop the vector, replays are epoch-skipped on both sinks
+    (the IVM machinery of streaming/ivm.py, with embedding as the
+    per-conv recompute). :func:`search_index` then serves top-k without
+    re-embedding the corpus; after any drained stream the index equals
+    ``embedding_rows(state)`` exactly (tests/test_semsearch.py).
+
+    Construct the sink with ``GroupedReplaceParquetSink(root,
+    schema_ddl=INDEX_VIEW_DDL)``.
+    """
+    from ..streaming.ivm import maintained_view_stream
+
+    return maintained_view_stream(
+        spark,
+        spool_dir,
+        state_sink,
+        index_sink,
+        checkpoint_dir,
+        recompute=embedding_rows,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
 def search_live_state(
     state: DataFrame,
     topk: int = SEARCH_TOPK,
@@ -65,11 +118,17 @@ def search_live_state(
     """Top-k cosine neighbors for each query turn over the materialized
     corpus. ``state`` is the LWW state (conv_id, turn_idx, text, …).
     Returns (q_conv, q_turn, conv_id, turn_idx, cos, rank)."""
-    emb = state.select(
-        "conv_id",
-        "turn_idx",
-        text_embedding(F.col("text")).alias("emb"),
-    ).withColumn("nrm", norm_fold(F.col("emb")))
+    return search_index(embedding_rows(state), topk, q_cap)
+
+
+def search_index(
+    emb: DataFrame,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+) -> DataFrame:
+    """Top-k over pre-embedded index rows (conv_id, turn_idx, emb, nrm)
+    — e.g. the view :func:`embedding_index_stream` maintains — skipping
+    the embed pass entirely."""
     q = F.broadcast(
         emb.where((F.col("turn_idx") == 0) & F.col("conv_id").endswith("0"))
         .orderBy("conv_id")

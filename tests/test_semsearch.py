@@ -63,6 +63,43 @@ def test_search_contract(state):
         out.unpersist()
 
 
+def test_streaming_index_equals_batch_embed(spark, tmp_path, state):
+    """The maintained embedding index, after the stream drains, equals
+    a from-scratch embed of the LWW state — under inserts, edits
+    (re-embed), and deletes (vector dropped); a replay is a no-op."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
+        GroupedReplaceParquetSink,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    env = changelog_envelopes(spark, SF_CORRECT)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=3)
+    st = MergeParquetSink(str(tmp_path / "state"), n_buckets=8)
+    ix = GroupedReplaceParquetSink(
+        str(tmp_path / "index"), schema_ddl=semsearch.INDEX_VIEW_DDL
+    )
+    ckpt = str(tmp_path / "ckpt")
+    semsearch.embedding_index_stream(spark, spool, st, ix, ckpt)
+
+    got = ix.read_view(spark)
+    want = semsearch.embedding_rows(st.snapshot(spark))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    n = got.count()
+    assert n > 0
+    # searching the index matches searching the state (no re-embed)
+    a = semsearch.search_index(got).collect()
+    b = semsearch.search_live_state(st.snapshot(spark)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # replay: both sinks epoch-skip, index unchanged
+    semsearch.embedding_index_stream(spark, spool, st, ix, ckpt)
+    assert ix.read_view(spark).count() == n
+
+
 def test_search_plan_broadcasts_queries(state):
     plan = semsearch.search_live_state(state)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
