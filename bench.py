@@ -75,6 +75,7 @@ ROUND3 = [
     "ann_pq_topk_adc",
     "cohort_exist_adaptive",
     "search_live_state",
+    "search_index_pruned",
 ]
 
 

@@ -573,6 +573,19 @@ def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): IVF-pruned variant — the
+# index is cell-partitioned against a corpus-sample codebook and each
+# query probes only its nprobe nearest cells. Same-oracle sweep.
+def q_search_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import semsearch
+
+    emb = semsearch.embedding_rows(
+        cdc.apply_changelog(changelog_envelopes(spark, sf_dir))
+    )
+    cb = semsearch.index_codebook(emb)
+    return semsearch.search_index_pruned(semsearch.assign_cells(emb, cb), cb)
+
+
 # ---------------------------------------------------------------------------
 # 8. text analysis (training-data pipeline: lang-ID, quality, tokens, fp)
 # ---------------------------------------------------------------------------

@@ -84,6 +84,7 @@ def embedding_index_stream(
     index_sink,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
+    codebook: DataFrame | None = None,
 ):
     """Streaming-maintained embedding index: per micro-batch, MERGE the
     changelog into the state table and re-embed ONLY the touched
@@ -95,17 +96,27 @@ def embedding_index_stream(
     ``embedding_rows(state)`` exactly (tests/test_semsearch.py).
 
     Construct the sink with ``GroupedReplaceParquetSink(root,
-    schema_ddl=INDEX_VIEW_DDL)``.
+    schema_ddl=INDEX_VIEW_DDL)`` — or, with a FROZEN ``codebook``
+    (:func:`index_codebook` / a trained equivalent, sampled ONCE at
+    bootstrap), ``schema_ddl=INDEX_CELLS_VIEW_DDL``: each touched
+    vector is then also cell-assigned against the constant broadcast
+    codebook and :func:`search_index_pruned` serves nprobe-pruned
+    top-k from the view.
     """
     from ..streaming.ivm import maintained_view_stream
 
+    recompute = (
+        embedding_rows
+        if codebook is None
+        else (lambda live: assign_cells(embedding_rows(live), codebook))
+    )
     return maintained_view_stream(
         spark,
         spool_dir,
         state_sink,
         index_sink,
         checkpoint_dir,
-        recompute=embedding_rows,
+        recompute=recompute,
         max_files_per_trigger=max_files_per_trigger,
     )
 
@@ -169,6 +180,215 @@ def search_index(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+INDEX_CELLS = 64
+SEARCH_NPROBE = 2
+
+#: sink schema for the cell-partitioned (IVF-pruned) index view
+INDEX_CELLS_VIEW_DDL = (
+    "conv_id string, turn_idx int, emb array<double>, nrm double,"
+    " cell int, bucket int"
+)
+
+
+def index_codebook(emb: DataFrame, n_cells: int = INDEX_CELLS) -> DataFrame:
+    """Deterministic corpus-sample codebook: the first ``n_cells``
+    index rows in (conv_id, turn_idx) order, numbered 1..n. The same
+    oracle-expressible sampling trick as similarity.ivf_centroids —
+    production swaps in k-means (`similarity.ivf_centroids_kmeans`
+    pattern) with nothing downstream changing. For the STREAMING
+    index the codebook must be FROZEN (trained/sampled once at
+    bootstrap and passed in): cells are only comparable when every
+    vector was assigned against the same centroids."""
+    from pyspark.sql import Window as W
+
+    cb = emb.orderBy("conv_id", "turn_idx").limit(n_cells)
+    return cb.select(
+        F.row_number()
+        .over(W.orderBy("conv_id", "turn_idx"))
+        .cast("int")
+        .alias("cid"),
+        F.col("emb").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+
+
+def assign_cells(emb: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest-centroid (max cosine, ties → smallest cid) cell per
+    index row — broadcast join against the constant codebook,
+    O(n · n_cells), one window on the pre-exchanged (conv_id,
+    turn_idx) key."""
+    from pyspark.sql import Window as W
+
+    scored = emb.join(F.broadcast(codebook)).select(
+        "conv_id",
+        "turn_idx",
+        "emb",
+        "nrm",
+        "cid",
+        F.try_divide(
+            dot_fold(F.col("emb"), F.col("c_emb")),
+            F.col("nrm") * F.col("c_nrm"),
+        ).alias("ccos"),
+    )
+    w = W.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("conv_id", "turn_idx", "emb", "nrm", F.col("cid").alias("cell"))
+    )
+
+
+def search_index_pruned(
+    emb_cells: DataFrame,
+    codebook: DataFrame,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+    nprobe: int = SEARCH_NPROBE,
+) -> DataFrame:
+    """IVF-pruned top-k over a cell-partitioned index: each query
+    probes its ``nprobe`` nearest cells and scores ONLY those cells'
+    vectors — O(q_cap · n/n_cells · nprobe) scoring instead of
+    O(q_cap · n). Approximate by construction (a neighbor in an
+    unprobed cell is unseen — the standard IVF recall trade, measured
+    in tests); the DuckDB twin replicates the same pruned semantics so
+    parity is exact."""
+    from pyspark.sql import Window as W
+
+    q_base = F.broadcast(
+        emb_cells.where(
+            (F.col("turn_idx") == 0) & F.col("conv_id").endswith("0")
+        )
+        .orderBy("conv_id")
+        .limit(q_cap)
+        .select(
+            F.col("conv_id").alias("q_conv"),
+            F.col("turn_idx").alias("q_turn"),
+            F.col("emb").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    qc = q_base.join(F.broadcast(codebook)).select(
+        "q_conv",
+        "q_turn",
+        "q_emb",
+        "q_nrm",
+        "cid",
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("c_emb")),
+            F.col("q_nrm") * F.col("c_nrm"),
+        ).alias("ccos"),
+    )
+    wq = W.partitionBy("q_conv", "q_turn").orderBy(
+        F.col("ccos").desc(), F.col("cid").asc()
+    )
+    probes = F.broadcast(
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("q_conv", "q_turn", "q_emb", "q_nrm", F.col("cid").alias("cell"))
+    )
+    scored = probes.join(emb_cells, "cell").where(
+        (F.col("q_conv") != F.col("conv_id"))
+        | (F.col("q_turn") != F.col("turn_idx"))
+    ).select(
+        "q_conv",
+        "q_turn",
+        "conv_id",
+        "turn_idx",
+        F.try_divide(
+            dot_fold(F.col("q_emb"), F.col("emb")),
+            F.col("q_nrm") * F.col("nrm"),
+        ).alias("cos"),
+    )
+    w = W.partitionBy("q_conv", "q_turn").orderBy(
+        F.col("cos").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "q_conv",
+            "q_turn",
+            "conv_id",
+            "turn_idx",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def search_index_pruned_sql(
+    state_rel: str,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+    nprobe: int = SEARCH_NPROBE,
+    n_cells: int = INDEX_CELLS,
+) -> str:
+    """DuckDB twin of embed → codebook-sample → assign → pruned
+    search, all from the state relation."""
+    e = _embedding_sql("text")
+    ccos = (
+        f"({DOT_SQL.format(a='v.emb', b='c.c_emb')})"
+        f" / (v.nrm * c.c_nrm)"
+    )
+    qcos = (
+        f"({DOT_SQL.format(a='q.emb', b='c.c_emb')})"
+        f" / (q.nrm * c.c_nrm)"
+    )
+    dot = DOT_SQL.format(a="p.q_emb", b="v.emb")
+    return f"""
+    WITH st AS ({state_rel}),
+    nemb AS (
+      SELECT conv_id, turn_idx, emb,
+             sqrt({DOT_SQL.format(a="emb", b="emb")}) AS nrm
+      FROM (SELECT conv_id, turn_idx, {e} AS emb FROM st)
+    ),
+    cb AS (
+      SELECT CAST(row_number() OVER (ORDER BY conv_id, turn_idx) AS INTEGER) AS cid,
+             emb AS c_emb, nrm AS c_nrm
+      FROM (SELECT * FROM nemb ORDER BY conv_id, turn_idx LIMIT {n_cells})
+    ),
+    cells AS (
+      SELECT conv_id, turn_idx, emb, nrm, cid AS cell FROM (
+        SELECT v.*, c.cid,
+               row_number() OVER (PARTITION BY v.conv_id, v.turn_idx
+                                  ORDER BY {ccos} DESC, c.cid ASC) AS rn
+        FROM nemb v, cb c
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT conv_id AS q_conv, turn_idx AS q_turn, emb, nrm
+      FROM cells
+      WHERE turn_idx = 0 AND conv_id LIKE '%0'
+      ORDER BY conv_id LIMIT {q_cap}
+    ),
+    probes AS (
+      SELECT q_conv, q_turn, q_emb, q_nrm, cid AS cell FROM (
+        SELECT q.q_conv, q.q_turn, q.emb AS q_emb, q.nrm AS q_nrm, c.cid,
+               row_number() OVER (PARTITION BY q.q_conv, q.q_turn
+                                  ORDER BY {qcos} DESC, c.cid ASC) AS rn
+        FROM q, cb c
+      ) WHERE rn <= {nprobe}
+    ),
+    scored AS (
+      SELECT p.q_conv, p.q_turn, v.conv_id, v.turn_idx,
+             ({dot}) / (p.q_nrm * v.nrm) AS cos
+      FROM probes p JOIN cells v ON p.cell = v.cell
+      WHERE p.q_conv != v.conv_id OR p.q_turn != v.turn_idx
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_conv, q_turn
+               ORDER BY cos DESC, conv_id ASC, turn_idx ASC) AS rank
+      FROM scored
+    )
+    SELECT q_conv, q_turn, conv_id, turn_idx, cos,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {topk}
+    """
 
 
 def search_live_state_sql(

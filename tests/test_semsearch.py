@@ -100,6 +100,64 @@ def test_streaming_index_equals_batch_embed(spark, tmp_path, state):
     assert ix.read_view(spark).count() == n
 
 
+def test_pruned_search_recall_floor(state):
+    """IVF pruning is approximate by construction; pin a recall floor
+    vs the brute kernel so a broken cell assignment can't pass as
+    'approximate anyway' (the similarity.py recall-floor precedent)."""
+    emb = semsearch.embedding_rows(state).persist()
+    try:
+        cb = semsearch.index_codebook(emb)
+        brute = semsearch.search_index(emb).select(
+            "q_conv", "q_turn", "conv_id", "turn_idx"
+        )
+        pruned = semsearch.search_index_pruned(
+            semsearch.assign_cells(emb, cb), cb
+        ).select("q_conv", "q_turn", "conv_id", "turn_idx")
+        tot = brute.count()
+        hit = pruned.intersect(brute).count()
+        assert tot > 0 and hit / tot >= 0.15
+    finally:
+        emb.unpersist()
+
+
+def test_streaming_cell_index_serves_pruned_search(spark, tmp_path, state):
+    """Frozen-codebook streaming index: the cell-partitioned view after
+    the drain equals batch embed+assign, and pruned search from the
+    view equals pruned search recomputed from the state."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
+        GroupedReplaceParquetSink,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    env = changelog_envelopes(spark, SF_CORRECT)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=2)
+    # codebook frozen BEFORE the stream (the bootstrap-trained model)
+    cb = semsearch.index_codebook(
+        semsearch.embedding_rows(cdc.apply_changelog(env))
+    ).persist()
+    st = MergeParquetSink(str(tmp_path / "state"), n_buckets=8)
+    ix = GroupedReplaceParquetSink(
+        str(tmp_path / "index"), schema_ddl=semsearch.INDEX_CELLS_VIEW_DDL
+    )
+    semsearch.embedding_index_stream(
+        spark, spool, st, ix, str(tmp_path / "ckpt"), codebook=cb
+    )
+    got = ix.read_view(spark)
+    want = semsearch.assign_cells(
+        semsearch.embedding_rows(st.snapshot(spark)), cb
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    a = semsearch.search_index_pruned(got, cb).collect()
+    b = semsearch.search_index_pruned(want, cb).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+    cb.unpersist()
+
+
 def test_search_plan_broadcasts_queries(state):
     plan = semsearch.search_live_state(state)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

@@ -28,6 +28,9 @@ plus the round-3 extension operators added after the registry filled:
                               CDC state: deterministic cross-engine
                               embedder + broadcast top-k cosine —
                               operators/semsearch.py)
+- search_index_pruned        (IVF-pruned variant: cell-partitioned
+                              index vs a corpus-sample codebook,
+                              nprobe-pruned scoring)
 """
 
 from __future__ import annotations
@@ -121,6 +124,16 @@ CASES = [
             "flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
             fromlist=["search_live_state_sql"],
         ).search_live_state_sql(
+            f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
+        ),
+    ),
+    (
+        "search_index_pruned",
+        eq.q_search_index_pruned,
+        lambda: __import__(
+            "flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
+            fromlist=["search_index_pruned_sql"],
+        ).search_index_pruned_sql(
             f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
         ),
     ),
