@@ -317,13 +317,15 @@ def run_streaming_replay(
 
 
 def run_skew_compare(cpus: int = 8, n_turns: int = 10_000_000) -> dict:
-    """Direct vs blanket-salted vs adaptive (hot-key-only) salted
-    aggregation on the zipf-skewed synthetic changelog (5% of turns in
-    ONE hot conversation): the same cohort rule evaluated three ways,
-    equal results asserted, wall clock per plan. Quantifies skew
-    defense #4 (plans/skew.py): adaptive pays the hot-key detection
-    scan but keeps the partial relation ≈ #groups rows, where blanket
-    salting multiplies it by `buckets` for every cold key."""
+    """Direct vs blanket-salted vs adaptive (hot-key-only, full and
+    sampled detection) salted aggregation on the zipf-skewed synthetic
+    changelog (5% of turns in ONE hot conversation): the same cohort
+    rule evaluated four ways, row-identical MEMBERSHIP asserted
+    (exceptAll both directions vs the direct plan, untimed), wall
+    clock per plan. Quantifies skew defense #4 (plans/skew.py):
+    adaptive pays the hot-key detection scan but keeps the partial
+    relation ≈ #groups rows, where blanket salting multiplies it by
+    `buckets` for every cold key."""
     from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, cohort
     from flink_cdc_mysql_sink_to_mysql_spark.plans.scaling import synth_envelopes
     from flink_cdc_mysql_sink_to_mysql_spark.session import get_spark
@@ -368,8 +370,21 @@ def run_skew_compare(cpus: int = 8, n_turns: int = 10_000_000) -> dict:
             wall = round(time.perf_counter() - t0, 3)
             if name not in times or wall < times[name]:
                 times[name] = wall
+    # row-identical MEMBERSHIP, not just cardinality: a salting bug
+    # that swaps borderline convs in/out while preserving the size
+    # must fail here (untimed — correctness gate, not measurement)
+    direct_df = variants["direct"]().persist()
+    for name, fn in variants.items():
+        if name == "direct":
+            continue
+        other = fn()
+        diff = direct_df.exceptAll(other).count() + other.exceptAll(
+            direct_df
+        ).count()
+        assert diff == 0, f"{name} diverged from direct by {diff} rows"
+    direct_df.unpersist()
     events.unpersist()
-    assert len(set(counts.values())) == 1, counts  # same cohort, 3 plans
+    assert len(set(counts.values())) == 1, counts  # same cohort, 4 plans
     return {
         "metric": "skew_compare_wall_seconds",
         "value": times,

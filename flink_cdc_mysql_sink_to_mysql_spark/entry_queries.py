@@ -502,10 +502,14 @@ _EVENTS_REL = f"SELECT *, make_timestamp(ts_ms * 1000) AS ts FROM ({TURN_EVENTS_
 _MEMBERS_REL = f"SELECT DISTINCT conv_id FROM ({TRANSCRIPTS_SQL})"
 
 
-@register(
-    "cohort_exist",
-    oracle=cohort.rule_to_sql(RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW),
+# ONE oracle string for all three exist-plan forms (direct, blanket-
+# salted, adaptive) — the plans must be row-identical, so they share it
+COHORT_EXIST_ORACLE = cohort.rule_to_sql(
+    RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW
 )
+
+
+@register("cohort_exist", oracle=COHORT_EXIST_ORACLE)
 def q_cohort_exist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort.exist_conv_ids(
         _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
@@ -537,10 +541,7 @@ def q_cohort_unmapped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # two-phase salted aggregation (skew path) — SAME oracle as cohort_exist,
 # proving the salted plan is row-identical (plans/skew.py)
-@register(
-    "cohort_exist_salted",
-    oracle=cohort.rule_to_sql(RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW),
-)
+@register("cohort_exist_salted", oracle=COHORT_EXIST_ORACLE)
 def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort.exist_conv_ids_salted(
         _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
@@ -550,11 +551,6 @@ def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # NOT driver-registered (50-query budget): adaptive hot-key-only salting
 # (plans/skew.py defense #4) — detect hot conv_ids, salt only those;
 # SAME oracle as cohort_exist via tests/test_unregistered_oracles.py.
-COHORT_EXIST_ORACLE = cohort.rule_to_sql(
-    RULE_EXIST, _EVENTS_REL, _MEMBERS_REL, COHORT_NOW
-)
-
-
 def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort.exist_conv_ids_adaptive(
         _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW

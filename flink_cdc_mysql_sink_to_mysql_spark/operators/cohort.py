@@ -112,6 +112,35 @@ def exist_conv_ids(events: DataFrame, rule: CohortRule, now: str) -> DataFrame:
     )
 
 
+#: rule dimension → (algebraic fn, column) in plans/skew.py agg-spec
+#: form — the single source both salted variants share
+_DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
+
+
+def _salted_rule_parts(events: DataFrame, rule: CohortRule, now: str):
+    """Shared preamble of the salted/adaptive variants: the reference's
+    kind + lookback filter, the rule's aggs in plans/skew.py spec form,
+    and the AND-joined HAVING. Returns (df, aggs, having); aggs/having
+    are None for a no-subparam rule (plain DISTINCT)."""
+    df = events
+    kind = TARGET_TO_KIND.get(rule.target)
+    if kind is not None:
+        df = df.where(F.col("event_kind") == kind)
+    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
+    if not rule.sub_params:
+        return df, None, None
+    df = df.withColumn("_one", F.lit(1))
+    aggs = {f"_a{i}": _DIM_SALTED[sp.dimension] for i, sp in enumerate(rule.sub_params)}
+    having = reduce(
+        lambda a, b: a & b,
+        [
+            _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
+            for i, sp in enumerate(rule.sub_params)
+        ],
+    )
+    return df, aggs, having
+
+
 def exist_conv_ids_salted(
     events: DataFrame, rule: CohortRule, now: str, buckets: int = 32
 ) -> DataFrame:
@@ -123,26 +152,12 @@ def exist_conv_ids_salted(
     """
     from ..plans.skew import salted_agg
 
-    df = events
-    kind = TARGET_TO_KIND.get(rule.target)
-    if kind is not None:
-        df = df.where(F.col("event_kind") == kind)
-    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
-
-    if not rule.sub_params:
+    df, aggs, having = _salted_rule_parts(events, rule, now)
+    if aggs is None:
         return df.select("conv_id").distinct()
-
-    _DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
-    df = df.withColumn("_one", F.lit(1))
-    aggs = {f"_a{i}": _DIM_SALTED[sp.dimension] for i, sp in enumerate(rule.sub_params)}
-    conds = [
-        _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
-        for i, sp in enumerate(rule.sub_params)
-    ]
     # salt on seq — varies per event within a conversation, so the hot
     # conv's partial-agg rows really span `buckets` groups (plans/skew.py)
     out = salted_agg(df, ["conv_id"], aggs, buckets=buckets, salt_source="seq")
-    having = reduce(lambda a, b: a & b, conds)
     return out.where(having).select("conv_id")
 
 
@@ -165,27 +180,13 @@ def exist_conv_ids_adaptive(
     """
     from ..plans.skew import hot_keys, selective_salted_agg
 
-    df = events
-    kind = TARGET_TO_KIND.get(rule.target)
-    if kind is not None:
-        df = df.where(F.col("event_kind") == kind)
-    df = df.where(F.col("ts") >= cutoff_expr(now, rule.value_days))
-
-    if not rule.sub_params:
+    df, aggs, having = _salted_rule_parts(events, rule, now)
+    if aggs is None:
         return df.select("conv_id").distinct()
-
-    _DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
-    df = df.withColumn("_one", F.lit(1))
-    aggs = {f"_a{i}": _DIM_SALTED[sp.dimension] for i, sp in enumerate(rule.sub_params)}
-    conds = [
-        _OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value))
-        for i, sp in enumerate(rule.sub_params)
-    ]
     hot = hot_keys(df, ["conv_id"], min_frac=min_frac, sample_frac=sample_frac)
     out = selective_salted_agg(
         df, ["conv_id"], aggs, hot=hot, buckets=buckets, salt_source="seq"
     )
-    having = reduce(lambda a, b: a & b, conds)
     return out.where(having).select("conv_id")
 
 

@@ -57,6 +57,44 @@ def _embedding_sql(col: str, dim: int = EMB_DIM) -> str:
     return f"[{parts}]"
 
 
+def _rank_topk(scored: DataFrame, topk: int) -> DataFrame:
+    """The single-sourced output contract of every search kernel here:
+    per-query rank by (cos DESC, conv_id ASC, turn_idx ASC) — the
+    tie-break the DuckDB twins mirror via :func:`_ranked_tail_sql` —
+    cut at ``topk``, fixed column order."""
+    w = Window.partitionBy("q_conv", "q_turn").orderBy(
+        F.col("cos").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "q_conv",
+            "q_turn",
+            "conv_id",
+            "turn_idx",
+            "cos",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _ranked_tail_sql(topk: int) -> str:
+    """SQL twin of :func:`_rank_topk`, to append after a ``scored``
+    CTE with columns (q_conv, q_turn, conv_id, turn_idx, cos)."""
+    return f""",
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY q_conv, q_turn
+               ORDER BY cos DESC, conv_id ASC, turn_idx ASC) AS rank
+      FROM scored
+    )
+    SELECT q_conv, q_turn, conv_id, turn_idx, cos,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {topk}
+    """
+
+
 def embedding_rows(state: DataFrame) -> DataFrame:
     """LWW state → the embedding-index row form (conv_id, turn_idx,
     emb, nrm): a narrow per-row projection, shared by the batch search
@@ -165,21 +203,7 @@ def search_index(
             F.col("q_nrm") * F.col("nrm"),
         ).alias("cos"),
     )
-    w = Window.partitionBy("q_conv", "q_turn").orderBy(
-        F.col("cos").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select(
-            "q_conv",
-            "q_turn",
-            "conv_id",
-            "turn_idx",
-            "cos",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, topk)
 
 
 INDEX_CELLS = 64
@@ -303,21 +327,7 @@ def search_index_pruned(
             F.col("q_nrm") * F.col("nrm"),
         ).alias("cos"),
     )
-    w = W.partitionBy("q_conv", "q_turn").orderBy(
-        F.col("cos").desc(), F.col("conv_id").asc(), F.col("turn_idx").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= topk)
-        .select(
-            "q_conv",
-            "q_turn",
-            "conv_id",
-            "turn_idx",
-            "cos",
-            F.col("rank").cast("int").alias("rank"),
-        )
-    )
+    return _rank_topk(scored, topk)
 
 
 def search_index_pruned_sql(
@@ -378,17 +388,7 @@ def search_index_pruned_sql(
              ({dot}) / (p.q_nrm * v.nrm) AS cos
       FROM probes p JOIN cells v ON p.cell = v.cell
       WHERE p.q_conv != v.conv_id OR p.q_turn != v.turn_idx
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY q_conv, q_turn
-               ORDER BY cos DESC, conv_id ASC, turn_idx ASC) AS rank
-      FROM scored
-    )
-    SELECT q_conv, q_turn, conv_id, turn_idx, cos,
-           CAST(rank AS INTEGER) AS rank
-    FROM ranked WHERE rank <= {topk}
-    """
+    ){_ranked_tail_sql(topk)}"""
 
 
 def search_live_state_sql(
@@ -422,14 +422,4 @@ def search_live_state_sql(
              ({dot}) / (q.nrm * c.nrm) AS cos
       FROM q JOIN nemb c
         ON q.q_conv != c.conv_id OR q.q_turn != c.turn_idx
-    ),
-    ranked AS (
-      SELECT *, row_number() OVER (
-               PARTITION BY q_conv, q_turn
-               ORDER BY cos DESC, conv_id ASC, turn_idx ASC) AS rank
-      FROM scored
-    )
-    SELECT q_conv, q_turn, conv_id, turn_idx, cos,
-           CAST(rank AS INTEGER) AS rank
-    FROM ranked WHERE rank <= {topk}
-    """
+    ){_ranked_tail_sql(topk)}"""

@@ -166,6 +166,35 @@ def run_once(cpus: int, n_turns: int) -> dict:
     }
 
 
+def _distinct_physical_cpus(n: int) -> list[int]:
+    """First ``n`` logical CPUs that sit on DISTINCT physical cores.
+    On SMT hosts that enumerate hyperthread siblings adjacently (e.g.
+    cpu0/cpu1 = siblings of core 0), a naive ``0..n-1`` range would pin
+    the small leg onto sibling threads of fewer physical cores and
+    overstate the measured efficiency. Falls back to ``0..n-1`` where
+    the sysfs topology is unreadable (matches it exactly on
+    1-thread-per-core hosts like this sandbox)."""
+    chosen: list[int] = []
+    seen_cores: set[str] = set()
+    cpu = 0
+    base = "/sys/devices/system/cpu"
+    while len(chosen) < n:
+        sib = os.path.join(base, f"cpu{cpu}", "topology", "thread_siblings_list")
+        if not os.path.exists(sib):
+            if cpu == 0:
+                return list(range(n))  # no sysfs topology at all
+            break  # ran out of CPUs: pad with the plain range below
+        with open(sib) as f:
+            core_key = f.read().strip()
+        if core_key not in seen_cores:
+            seen_cores.add(core_key)
+            chosen.append(cpu)
+        cpu += 1
+    if len(chosen) < n:  # more slots requested than physical cores
+        chosen = list(range(n))
+    return chosen
+
+
 def _run_in_subprocess(cpus: int, n_turns: int, pin_cpus: bool = False) -> dict:
     code = (
         "import json;"
@@ -190,7 +219,8 @@ def _run_in_subprocess(cpus: int, n_turns: int, pin_cpus: bool = False) -> dict:
         # measurement robust to OTHER processes on the host, whose
         # load otherwise hits the wide leg hardest (a contaminated
         # unpinned pair once read 0.51).
-        argv = ["taskset", "-c", f"0-{cpus - 1}"] + argv
+        cores = ",".join(str(c) for c in _distinct_physical_cpus(cpus))
+        argv = ["taskset", "-c", cores] + argv
     proc = subprocess.run(
         argv,
         capture_output=True,

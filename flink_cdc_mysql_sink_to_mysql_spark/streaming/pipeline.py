@@ -173,14 +173,17 @@ def materialize_stream(
     Structured Streaming unions streaming DataFrames natively.
 
     ``track_hot_convs=N`` (opt-in) records each micro-batch's top-N
-    conversations by envelope count to ``lineage_path + '.hot.jsonl'``
-    — the ONLINE half of skew handling (plans/skew.py defense #4):
-    operators watch this feed to decide which keys need selective
-    salting, and an SRE watches it to see a hot conversation forming
-    before it shows up as a straggler task. Cost: one bounded
-    (top-N collect) agg per micro-batch over the already-persisted
-    batch. Replayed (epoch-skipped) batches are NOT re-recorded, so
-    the feed stays exactly-once alongside the sink.
+    conversations by envelope count to ``lineage_path + '.hot/'``
+    (one ``epoch-<id>.json`` per micro-batch) — the ONLINE half of
+    skew handling (plans/skew.py defense #4): operators watch this
+    feed to decide which keys need selective salting, and an SRE
+    watches it to see a hot conversation forming before it shows up as
+    a straggler task. Cost: one bounded (top-N collect) agg per
+    micro-batch over the already-persisted batch. Exactly-once by
+    idempotent per-epoch overwrite (atomic tmp+rename, content
+    deterministic from the batch), written BEFORE the sink commit so a
+    crash between the two can only re-write an identical file on
+    replay — never leave a committed epoch without its record.
     """
     from ..operators import cdc
 
@@ -200,15 +203,20 @@ def materialize_stream(
         ).alias("convs"),
     )
 
-    hot_path = (lineage_path or checkpoint_dir) + ".hot.jsonl"
+    hot_dir = (lineage_path or checkpoint_dir) + ".hot"
 
     def _batch(df, eid):
         if not track_hot_convs:
             return sink.merge_changelog(df, eid)
         df = df.persist()
         try:
-            out = sink.merge_changelog(df, eid)
-            if not out.get("skipped"):
+            # hot record FIRST, idempotently (epoch-keyed atomic
+            # overwrite, content deterministic from the batch): a crash
+            # between this write and the sink commit re-writes an
+            # identical file on replay, never leaves a committed epoch
+            # without its record
+            rec = os.path.join(hot_dir, f"epoch-{eid:06d}.json")
+            if not os.path.exists(rec):
                 key = F.coalesce(
                     F.col("after.conv_id"), F.col("before.conv_id")
                 )
@@ -219,7 +227,9 @@ def materialize_stream(
                     .limit(track_hot_convs)
                     .collect()  # bounded: ≤ track_hot_convs rows
                 )
-                with open(hot_path, "a") as f:
+                os.makedirs(hot_dir, exist_ok=True)
+                tmp = rec + ".tmp"
+                with open(tmp, "w") as f:
                     f.write(
                         json.dumps(
                             {
@@ -229,7 +239,8 @@ def materialize_stream(
                         )
                         + "\n"
                     )
-            return out
+                os.replace(tmp, rec)
+            return sink.merge_changelog(df, eid)
         finally:
             df.unpersist()
 

@@ -100,10 +100,10 @@ def main() -> None:
         type=int,
         default=None,
         help="record each micro-batch's top-N conversations by envelope "
-        "count to <workdir>/lineage.jsonl.hot.jsonl — the online half "
-        "of adaptive skew handling (plans/skew.py defense #4); "
-        "exactly-once alongside the sink (replayed batches are not "
-        "re-recorded)",
+        "count to <workdir>/lineage.jsonl.hot/ (one epoch-keyed file "
+        "per batch) — the online half of adaptive skew handling "
+        "(plans/skew.py defense #4); exactly-once via idempotent "
+        "per-epoch overwrite",
     )
     ap.add_argument(
         "--auto-compact-factor",
@@ -138,12 +138,16 @@ def main() -> None:
         "with_mongo": bool(args.with_mongo),
         "chunks": args.chunks,
         "bootstrap": bool(args.bootstrap),
+        "sf_dir": args.sf_dir,
     }
     if os.path.exists(topo_path):
         with open(topo_path) as f:
             prior_topo = json.load(f)
         # workdirs created before the flag existed ran without bootstrap
         prior_topo.setdefault("bootstrap", False)
+        # ... and before sf_dir was pinned (a different --sf-dir on an
+        # existing workdir would silently replay the OLD spool)
+        prior_topo.setdefault("sf_dir", args.sf_dir)
         if prior_topo != topo:
             raise SystemExit(
                 f"workdir {args.workdir} was created with {prior_topo}; "

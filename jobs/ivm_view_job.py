@@ -86,7 +86,7 @@ def main() -> None:
     os.makedirs(args.workdir, exist_ok=True)
     # one maintained view per workdir: the checkpoint pins the topology
     topo_path = os.path.join(args.workdir, "topology.json")
-    topo = {"view": args.view, "chunks": args.chunks}
+    topo = {"view": args.view, "chunks": args.chunks, "sf_dir": args.sf_dir}
     if os.path.exists(topo_path):
         with open(topo_path) as f:
             prior = json.load(f)

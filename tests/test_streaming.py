@@ -78,8 +78,11 @@ def test_hot_conv_tracking_records_planted_head(spark, tmp_path, golden):
         spark, spool, sink, ckpt, lineage_path=lineage, track_hot_convs=3
     )
     assert rows_of(sink.snapshot(spark)) == golden  # tracking ⟂ result
-    hot_path = lineage + ".hot.jsonl"
-    recs = [json.loads(l) for l in open(hot_path)]
+    hot_dir = lineage + ".hot"
+    recs = [
+        json.loads(open(os.path.join(hot_dir, f)).read())
+        for f in sorted(os.listdir(hot_dir))
+    ]
     assert [r["epoch"] for r in recs] == [0, 1]
     for r in recs:
         assert 1 <= len(r["hot"]) <= 3
@@ -97,12 +100,20 @@ def test_hot_conv_tracking_records_planted_head(spark, tmp_path, golden):
         .collect()
     )
     assert [[r["c"], r["count"]] for r in top0] == recs[0]["hot"]
-    # replay: stream is checkpoint-complete AND epochs are committed —
-    # a re-run appends nothing (exactly-once alongside the sink)
+    # replay: idempotent per-epoch files — a re-run leaves the same
+    # two records with identical content (exactly-once with the sink)
+    before = {
+        f: open(os.path.join(hot_dir, f)).read()
+        for f in sorted(os.listdir(hot_dir))
+    }
     pl.materialize_stream(
         spark, spool, sink, ckpt, lineage_path=lineage, track_hot_convs=3
     )
-    assert len(open(hot_path).readlines()) == 2
+    after = {
+        f: open(os.path.join(hot_dir, f)).read()
+        for f in sorted(os.listdir(hot_dir))
+    }
+    assert after == before and len(after) == 2
 
 
 def test_checkpoint_resume(spark, tmp_path, golden):
