@@ -76,6 +76,7 @@ ROUND3 = [
     "cohort_exist_adaptive",
     "search_live_state",
     "search_index_pruned",
+    "abandoned_conversations",
 ]
 
 

@@ -569,6 +569,62 @@ def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): the timer-CEP batch twin —
+# abandoned activity bursts (gap-sessionize; every session whose end
+# the final watermark passed). The streaming form
+# (stateful.abandoned_conversations_stream) is equivalence-tested
+# against this twin in tests/test_streaming_ops.py; the twin itself is
+# oracle-checked (gaps-and-islands SQL) in the unregistered sweep.
+def q_abandoned_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import stateful
+
+    return stateful.abandoned_conversations_batch(
+        changelog_envelopes(spark, sf_dir)
+    )
+
+
+def abandoned_conversations_oracle() -> str:
+    from .streaming.stateful import ABANDON_GAP_MS as GAP
+
+    return f"""
+    WITH my AS ({MYSQL_CHANGELOG_SQL}),
+         mo AS ({MONGO_CHANGELOG_SQL}),
+         turns AS (
+           SELECT conv_id, epoch_ms(ts) AS ts_ms FROM my WHERE op != 'd'
+           UNION ALL
+           SELECT conv_id, create_time_ms FROM mo
+         ),
+         -- island the DISTINCT timestamps: duplicate ts rows would be
+         -- ordered independently by the lag and running-sum windows
+         -- (nondeterministic tie), splitting an island; distinct ts
+         -- are totally ordered, so both windows agree
+         dts AS (SELECT DISTINCT conv_id, ts_ms FROM turns),
+         flagged AS (
+           SELECT conv_id, ts_ms,
+                  CASE WHEN ts_ms - lag(ts_ms) OVER (
+                         PARTITION BY conv_id ORDER BY ts_ms) > {GAP}
+                       THEN 1 ELSE 0 END AS brk
+           FROM dts
+         ),
+         islands AS (
+           SELECT conv_id, ts_ms,
+                  SUM(brk) OVER (PARTITION BY conv_id ORDER BY ts_ms
+                                 ROWS UNBOUNDED PRECEDING) AS island
+           FROM flagged
+         ),
+         sess AS (
+           SELECT t.conv_id, max(t.ts_ms) AS last_ts_ms,
+                  CAST(count(*) AS INTEGER) AS n_turns
+           FROM turns t
+           JOIN islands i ON t.conv_id = i.conv_id AND t.ts_ms = i.ts_ms
+           GROUP BY t.conv_id, i.island
+         ),
+         wm AS (SELECT max(ts_ms) AS w FROM turns)
+    SELECT conv_id, last_ts_ms, n_turns
+    FROM sess, wm WHERE last_ts_ms + {GAP} <= w
+    """
+
+
 # NOT driver-registered (50-query budget): IVF-pruned variant — the
 # index is cell-partitioned against a corpus-sample codebook and each
 # query probes only its nprobe nearest cells. Same-oracle sweep.

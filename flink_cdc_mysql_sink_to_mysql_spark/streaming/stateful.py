@@ -395,3 +395,144 @@ def tool_loop_alerts_batch(turns: DataFrame) -> DataFrame:
             F.lit(LOOP_N).cast("int").alias("run_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Abandoned-conversation detector (event-time TIMERS — Flink CEP within())
+# ---------------------------------------------------------------------------
+
+ABANDON_GAP_MS = GAP_MS  # same 30-min lull as the session operators
+
+ABANDONED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("last_ts_ms", LongType()),
+        StructField("n_turns", IntegerType()),
+    ]
+)
+
+_ABANDON_STATE = StructType(
+    [StructField("n", IntegerType()), StructField("last_ts", LongType())]
+)
+
+
+def _abandoned_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (conv_id,) = key
+
+    def rec(n, last):
+        return pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "last_ts_ms": [int(last)],
+                "n_turns": [int(n)],
+            }
+        )
+
+    if state.hasTimedOut:
+        # the TIMER path: the watermark passed last_ts + gap with no
+        # new turn — the burst is abandoned; emit once and clear
+        n, last_ts = state.get
+        state.remove()
+        yield rec(n, last_ts)
+        return
+
+    n, last_ts = state.get if state.exists else (0, None)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_ms")
+    for ts in rows["ts_ms"]:
+        ts = int(ts)
+        if last_ts is not None and ts - last_ts > ABANDON_GAP_MS:
+            # lull closed INSIDE the batch (the timer could never fire
+            # mid-batch): emit the finished burst now. STRICT >: an
+            # event at exactly last+gap EXTENDS the session — measured
+            # Spark session_window semantics, which the batch twin
+            # inherits (tests pin the boundary)
+            yield rec(n, last_ts)
+            n = 0
+        n += 1
+        last_ts = ts
+    state.update((n, last_ts))
+    # fire when the watermark passes the burst's session end; the
+    # timestamp must be beyond the current watermark, so clamp — a
+    # clamped (already-passed) timer fires at the next batch, which is
+    # exactly when the emission is due
+    state.setTimeoutTimestamp(
+        max(last_ts + ABANDON_GAP_MS, state.getCurrentWatermarkMs() + 1)
+    )
+
+
+def abandoned_conversations_stream(
+    spark,
+    spool_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Timer-based CEP: emit (conv_id, last_ts_ms, n_turns) exactly
+    once per activity burst that ends in a ≥30-min lull — the
+    event-time-timeout mechanism (Flink CEP ``within()`` / timer
+    service analog) the NoTimeout operators above cannot express:
+    the detection FIRES ON ABSENCE of an event, driven by the
+    watermark, not by a next arrival.
+
+    Watermark delay 0 (the spool replays in order): the final no-data
+    micro-batch advances the watermark to the corpus max and flushes
+    every burst whose session end the watermark passed. Batch twin:
+    :func:`abandoned_conversations_batch` (session_window + the same
+    final-watermark cutoff) — set-equality pinned in tests.
+    """
+    from .pipeline import envelope_stream
+
+    env = envelope_stream(spark, spool_dir)
+    turns = (
+        env.where(F.col("after").isNotNull())
+        .select(
+            F.col("after.conv_id").alias("conv_id"),
+            F.col("after.ts").alias("ts"),
+            F.unix_millis(F.col("after.ts")).alias("ts_ms"),
+        )
+        .withWatermark("ts", "0 seconds")
+    )
+    out = turns.groupBy("conv_id").applyInPandasWithState(
+        _abandoned_fn,
+        outputStructType=ABANDONED_SCHEMA,
+        stateStructType=_ABANDON_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def abandoned_conversations_batch(envelopes: DataFrame) -> DataFrame:
+    """Batch twin: gap-sessionize the turns; every session whose end
+    (last_ts + gap) the final watermark (corpus max ts, delay 0)
+    passed is one abandoned burst."""
+    turns = envelopes.where(F.col("after").isNotNull()).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.ts").alias("ts"),
+        F.unix_millis(F.col("after.ts")).alias("ts_ms"),
+    )
+    gap_s = ABANDON_GAP_MS // 1000
+    sessions = turns.groupBy(
+        "conv_id", F.session_window("ts", f"{gap_s} seconds").alias("sw")
+    ).agg(
+        F.max("ts_ms").alias("last_ts_ms"),
+        F.count(F.lit(1)).cast("int").alias("n_turns"),
+    )
+    final_wm = turns.agg(F.max("ts_ms").alias("_wm"))
+    return (
+        sessions.join(F.broadcast(final_wm))
+        .where(F.col("last_ts_ms") + F.lit(ABANDON_GAP_MS) <= F.col("_wm"))
+        .select("conv_id", "last_ts_ms", "n_turns")
+    )

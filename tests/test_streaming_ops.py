@@ -440,3 +440,69 @@ def test_tool_loop_update_does_not_double_count(spark, tmp_path):
         F.col("op"),
     )
     assert stateful.tool_loop_alerts_batch(turns).count() == 0
+
+
+def test_abandoned_conversations_timer_matches_batch(spark, tmp_path, spool):
+    """The event-time-TIMER op (fires on ABSENCE of an event) equals
+    the session-window batch twin under the same final watermark."""
+    out = stateful.abandoned_conversations_stream(
+        spark, spool, str(tmp_path / "out"), str(tmp_path / "ck")
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    env = mysql_changelog(spark, SF)
+    want = sorted(
+        map(tuple, stateful.abandoned_conversations_batch(env).collect())
+    )
+    assert got == want and len(got) > 0
+
+
+def test_abandoned_fires_per_burst_on_resumption(spark, tmp_path):
+    """A conversation that resumes after a lull produces one event PER
+    finished burst — including the mid-batch lull the timer alone
+    could never see — and an active tail burst produces none."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(milliseconds=stateful.ABANDON_GAP_MS)
+    sec = dt.timedelta(seconds=1)
+
+    def env_row(conv, idx, ts):
+        return (
+            "c",
+            {"conv_id": conv, "turn_idx": idx, "role": "user",
+             "text": "x", "tool": None, "ts": ts},
+            None,
+            int(ts.timestamp() * 1000),
+        )
+
+    a1 = t0 + sec
+    a2 = a1 + gap + sec  # STRICTLY past the gap → closes burst 1 (n=2)
+    b0 = a2 + gap + sec  # watermark passes a2+gap → burst 2 (n=1) fires
+    rows = [
+        env_row("a", 0, t0),
+        env_row("a", 1, a1),
+        env_row("a", 2, a2),
+        # conv b: single burst still active at corpus end → no event
+        env_row("b", 0, b0),
+    ]
+    schema = (
+        "op string, after struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>,"
+        " before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, seq long"
+    )
+    env = spark.createDataFrame(rows, schema)
+    spool_d = str(tmp_path / "spool2")
+    pl.spool_changelog(env, spool_d, n_chunks=1)  # ONE batch: mid-batch lulls
+    out = stateful.abandoned_conversations_stream(
+        spark, spool_d, str(tmp_path / "out2"), str(tmp_path / "ck2")
+    )
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    t1 = int(a1.timestamp() * 1000)
+    t2 = int(a2.timestamp() * 1000)
+    assert got == [("a", t1, 2), ("a", t2, 1)]
+    # and the batch twin agrees on this fixture too
+    want = sorted(
+        map(tuple, stateful.abandoned_conversations_batch(env).collect())
+    )
+    assert got == want

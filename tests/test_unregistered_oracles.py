@@ -31,6 +31,10 @@ plus the round-3 extension operators added after the registry filled:
 - search_index_pruned        (IVF-pruned variant: cell-partitioned
                               index vs a corpus-sample codebook,
                               nprobe-pruned scoring)
+- abandoned_conversations    (batch twin of the event-time-TIMER CEP
+                              op — gap-sessionize + final-watermark
+                              cutoff; streaming ≡ twin pinned in
+                              tests/test_streaming_ops.py)
 """
 
 from __future__ import annotations
@@ -126,6 +130,11 @@ CASES = [
         ).search_live_state_sql(
             f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
         ),
+    ),
+    (
+        "abandoned_conversations",
+        eq.q_abandoned_conversations,
+        lambda: eq.abandoned_conversations_oracle(),
     ),
     (
         "search_index_pruned",
