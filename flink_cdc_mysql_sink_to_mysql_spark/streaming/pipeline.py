@@ -390,6 +390,81 @@ def read_dlq(spark: SparkSession, dlq_dir: str) -> DataFrame:
     )
 
 
+#: reserved epoch band for DLQ replay merges: source epoch ``e`` gets
+#: ``-(DLQ_REPLAY_BASE + e*1000)`` with up to 1000 probe slots below
+#: it (one per successive drain of the same epoch). Bands in use:
+#: -1 bootstrap; -(horizon+2) retention expiry (horizons are epoch-ms
+#: seqs, astronomically negative); this band starts at -10000 so none
+#: collide.
+DLQ_REPLAY_BASE = 10_000
+
+
+def replay_dlq(spark: SparkSession, dlq_dir: str, sink, parse_fn=None) -> dict:
+    """Day-2 recovery: re-parse every quarantined raw line with the
+    CURRENT parser (or an explicitly fixed ``parse_fn(raw_df) ->
+    parsed``) and MERGE the now-good envelopes into the sink; rows that
+    still fail stay quarantined.
+
+    Safety model: recovered envelopes are ordinary LWW rows, so the
+    MERGE is CONTENT-idempotent (re-applying the same rows converges by
+    ord) — the epoch here only prevents queue-drain bookkeeping races,
+    not duplication. Each source epoch drains under the first unused
+    slot of its reserved band (probe on epoch-skip), so a SECOND parser
+    fix on a partially-drained epoch still applies instead of being
+    epoch-skipped into silent row loss; only after a successful merge
+    is the epoch's DLQ dir rewritten (write-then-swap) with the
+    still-bad remainder. Crash between merge and rewrite: the re-run
+    probes to a fresh slot and re-merges the same rows — harmless by
+    LWW idempotence — then completes the rewrite.
+    """
+    import shutil
+
+    from ..sources.json_envelopes import parse_envelope_lines, split_quarantine
+
+    if parse_fn is None:
+        parse_fn = parse_envelope_lines
+
+    out = {"epochs": [], "recovered": 0, "still_bad": 0}
+    if not os.path.isdir(dlq_dir):
+        return out
+    for name in sorted(os.listdir(dlq_dir)):
+        if not name.startswith("epoch="):
+            continue
+        src_epoch = int(name.split("=", 1)[1])
+        path = os.path.join(dlq_dir, name)
+        raw = (
+            spark.read.schema("_raw string, reason string")
+            .parquet(path)
+            .select(F.col("_raw").alias("value"))
+        )
+        good, bad = split_quarantine(parse_fn(raw))
+        good = good.persist()
+        bad = bad.persist()
+        try:
+            n_good = good.count()
+            n_bad = bad.count()
+            if n_good:
+                slot = -(DLQ_REPLAY_BASE + src_epoch * 1000)
+                while sink.merge_changelog(good, slot).get("skipped"):
+                    slot -= 1  # next free slot in this epoch's band
+                # drain: rewrite the epoch dir with only the leftovers
+                # (write-then-swap — a crash mid-rewrite must not lose
+                # the still-bad rows)
+                tmp = path + ".rewrite"
+                bad.write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(path)
+                os.replace(tmp, path)
+            out["epochs"].append(
+                {"epoch": src_epoch, "recovered": n_good, "still_bad": n_bad}
+            )
+            out["recovered"] += n_good
+            out["still_bad"] += n_bad
+        finally:
+            good.unpersist()
+            bad.unpersist()
+    return out
+
+
 def windowed_counts_stream(
     spark: SparkSession,
     spool_dir: str,
