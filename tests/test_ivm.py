@@ -389,3 +389,33 @@ def test_replay_and_partial_commit_converge(spark, tmp_path):
         spark, spool, state, view, str(tmp_path / "ckpt2")
     )
     assert_same(_view_ms(view.read_view(spark)), expected, "full replay")
+
+
+def test_view_sink_compact_vacuum_and_keeps_serving(spark, tmp_path):
+    """The view sink inherits the MERGE sink's maintenance: after a
+    trickled stream fragments it across version dirs, compact + vacuum
+    fold and reclaim them without changing the view, and later
+    replace-commits keep working (maintenance is not end-of-life)."""
+    import os
+
+    env = mysql_changelog(spark, SF_SMOKE)
+    state, view = _run(spark, env, tmp_path)
+    before = sorted(map(tuple, _view_ms(view.read_view(spark)).collect()))
+    assert len(before) > 0
+    verdirs = [d for d in os.listdir(view.root) if d.startswith("v")]
+    assert len(verdirs) > 1  # fragmented: one dir per touching epoch
+
+    out = view.compact(spark)
+    assert out["compacted"]
+    v = view.vacuum()
+    assert len(v["removed_dirs"]) >= 1
+    after = sorted(map(tuple, _view_ms(view.read_view(spark)).collect()))
+    assert after == before
+
+    # the sink still accepts replace commits after maintenance
+    keys = spark.createDataFrame([("c0",)], "conv_id string")
+    rows = view.read_view(spark).where(F.col("conv_id") == "c0").limit(0)
+    view.replace_groups(keys, rows, epoch_id=99_999)  # full delete of c0
+    assert (
+        view.read_view(spark).where(F.col("conv_id") == "c0").count() == 0
+    )
