@@ -181,6 +181,39 @@ def hot_keys(
     )
 
 
+def hot_keys_from_feed(spark, hot_dir: str, min_batches: int = 1) -> DataFrame:
+    """The ONLINE detection path: hot keys from the per-micro-batch
+    feed ``materialize_stream(..., track_hot_convs=N)`` writes
+    (one epoch-keyed JSON file per batch) — a conversation is hot if it
+    made the top-N in at least ``min_batches`` micro-batches. The feed
+    is tiny (≤ N rows per batch), so this reads as one small JSON scan
+    and the result is always broadcastable; feed it straight into
+    :func:`selective_salted_agg` — detection then costs the
+    DOWNSTREAM job nothing (the stream already paid it).
+
+    Returns (conv_id, hot_count) like :func:`hot_keys` — hot_count is
+    the summed per-batch envelope count (a lower bound on the key's
+    true total: batches where it missed the top-N contribute 0).
+    """
+    import json
+    import os
+
+    rows: dict[str, tuple[int, int]] = {}  # conv -> (batches, total)
+    if os.path.isdir(hot_dir):
+        for name in sorted(os.listdir(hot_dir)):
+            if not name.startswith("epoch-"):
+                continue
+            with open(os.path.join(hot_dir, name)) as f:
+                rec = json.load(f)
+            for conv, n in rec["hot"]:
+                b, t = rows.get(conv, (0, 0))
+                rows[conv] = (b + 1, t + int(n))
+    data = [
+        (conv, t) for conv, (b, t) in rows.items() if b >= min_batches
+    ]
+    return spark.createDataFrame(data, "conv_id string, hot_count long")
+
+
 def selective_salted_agg(
     df: DataFrame,
     keys: list[str],

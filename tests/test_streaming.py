@@ -116,6 +116,45 @@ def test_hot_conv_tracking_records_planted_head(spark, tmp_path, golden):
     assert after == before and len(after) == 2
 
 
+def test_hot_feed_drives_selective_salting(spark, tmp_path, golden):
+    """The loop closes: the stream's hot feed parses into the hot-keys
+    frame and drives selective_salted_agg with zero extra detection
+    cost — result identical to the direct aggregation."""
+    from flink_cdc_mysql_sink_to_mysql_spark.plans import skew
+
+    env = mysql_changelog(spark, SF)
+    spool = str(tmp_path / "spool")
+    pl.spool_changelog(env, spool, n_chunks=2)
+    sink = MergeParquetSink(str(tmp_path / "table"), n_buckets=8)
+    lineage = str(tmp_path / "lineage.jsonl")
+    pl.materialize_stream(
+        spark, spool, sink, str(tmp_path / "ckpt"),
+        lineage_path=lineage, track_hot_convs=3,
+    )
+    hot = skew.hot_keys_from_feed(spark, lineage + ".hot")
+    assert 1 <= hot.count() <= 6  # ≤ top-3 per batch × 2 batches
+    live = sink.snapshot(spark).withColumn(
+        "ts_ms", F.unix_millis("ts")
+    )
+    direct = {
+        (r.conv_id): (r.n, r.mx)
+        for r in live.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("ts_ms").alias("mx"))
+        .collect()
+    }
+    adaptive = {
+        (r.conv_id): (r.n, r.mx)
+        for r in skew.selective_salted_agg(
+            live,
+            ["conv_id"],
+            {"n": ("count", "turn_idx"), "mx": ("max", "ts_ms")},
+            hot=hot,
+            salt_source="turn_idx",
+        ).collect()
+    }
+    assert adaptive == direct
+
+
 def test_checkpoint_resume(spark, tmp_path, golden):
     env = mysql_changelog(spark, SF).orderBy("seq")
     spool = str(tmp_path / "spool")
