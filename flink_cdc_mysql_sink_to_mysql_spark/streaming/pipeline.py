@@ -427,8 +427,22 @@ def replay_dlq(spark: SparkSession, dlq_dir: str, sink, parse_fn=None) -> dict:
     out = {"epochs": [], "recovered": 0, "still_bad": 0}
     if not os.path.isdir(dlq_dir):
         return out
+    # Recover interrupted swaps before scanning: a crash between the
+    # rmtree and the os.replace below leaves only `epoch=N.rewrite`
+    # (the completed leftovers); finish the swap. A crash mid-tmp-write
+    # leaves BOTH dirs — the tmp is partial, the original is intact, so
+    # drop the tmp and let the normal drain rewrite it.
     for name in sorted(os.listdir(dlq_dir)):
-        if not name.startswith("epoch="):
+        if not (name.startswith("epoch=") and name.endswith(".rewrite")):
+            continue
+        tmp = os.path.join(dlq_dir, name)
+        target = tmp[: -len(".rewrite")]
+        if os.path.isdir(target):
+            shutil.rmtree(tmp)
+        else:
+            os.replace(tmp, target)
+    for name in sorted(os.listdir(dlq_dir)):
+        if not name.startswith("epoch=") or name.endswith(".rewrite"):
             continue
         src_epoch = int(name.split("=", 1)[1])
         path = os.path.join(dlq_dir, name)

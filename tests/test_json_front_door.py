@@ -323,3 +323,41 @@ def test_replay_dlq_recovers_after_parser_fix(spark, tmp_path):
     assert out3["recovered"] == 1
     assert_same(sink.snapshot(spark), expected.toPandas(), "post-crash sink")
     assert read_dlq(spark, dlq_dir).count() == 1
+
+
+def test_replay_dlq_completes_interrupted_swap(spark, tmp_path):
+    """A crash BETWEEN rmtree(epoch dir) and os.replace(.rewrite) used
+    to leave an orphan `epoch=N.rewrite` dir that wedged every later
+    drain (int("N.rewrite") ValueError). The drain now completes the
+    swap (orphan-only case) and drops stale tmps (both-dirs case)."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+        replay_dlq,
+    )
+
+    sink = MergeParquetSink(root=str(tmp_path / "table"), n_buckets=4)
+    dlq_dir = tmp_path / "dlq"
+    dlq_dir.mkdir()
+
+    def _dlq_write(dirname, rows):
+        spark.createDataFrame(
+            rows, "_raw string, reason string"
+        ).write.mode("overwrite").parquet(str(dlq_dir / dirname))
+
+    # epoch 0 crashed after rmtree: ONLY the .rewrite dir exists,
+    # holding the still-bad leftovers of a committed drain.
+    _dlq_write("epoch=0.rewrite", [("still bad", "unparseable")])
+    # epoch 1 crashed mid-tmp-write: both dirs exist; the original is
+    # authoritative, the tmp is partial garbage.
+    _dlq_write("epoch=1", [("not json", "unparseable"), ("also bad", "bad_op")])
+    _dlq_write("epoch=1.rewrite", [("partial", "unparseable")])
+
+    out = replay_dlq(spark, str(dlq_dir), sink)
+    assert out["recovered"] == 0
+    # epoch 0's swap completed (1 leftover); epoch 1 kept its 2 originals
+    assert [e["still_bad"] for e in out["epochs"]] == [1, 2]
+    assert sorted(os.listdir(dlq_dir)) == ["epoch=0", "epoch=1"]
+    assert read_dlq(spark, str(dlq_dir)).count() == 3
+
+    # idempotent: a second drain sees the same stable queue
+    out2 = replay_dlq(spark, str(dlq_dir), sink)
+    assert out2["recovered"] == 0 and out2["still_bad"] == 3
