@@ -71,6 +71,7 @@ ROUND3 = [
     "scd2_history",
     "scd2_asof",
     "edit_churn",
+    "preference_pairs",
     "ann_pq_topk",
     "ann_pq_topk_adc",
     "cohort_exist_adaptive",

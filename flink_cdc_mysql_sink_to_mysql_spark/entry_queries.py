@@ -181,6 +181,15 @@ def q_edit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.edit_churn(changelog_envelopes(spark, sf_dir))
 
 
+# NOT driver-registered (50-query budget): DPO-style preference pairs
+# mined from assistant-turn edits (rejected = before-image, chosen =
+# after-image, prompt = nearest preceding served user turn); local
+# oracle sweep + tests/test_history.py.
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = changelog_envelopes(spark, sf_dir)
+    return history.preference_pairs(env, cdc.apply_changelog(env))
+
+
 # ---------------------------------------------------------------------------
 # 3. turn-event derivation (D1–D9 analog over the union of both dialects)
 # ---------------------------------------------------------------------------

@@ -217,3 +217,127 @@ SELECT conv_id, turn_idx, version, role, text, tool, ts_ms, valid_from, valid_to
 FROM h
 WHERE valid_from <= {seq} AND (valid_to IS NULL OR valid_to > {seq})
 """
+
+
+def preference_pairs(envelopes: DataFrame, state: DataFrame) -> DataFrame:
+    """DPO-style preference pairs mined from the CDC edit history: an
+    assistant turn that was EDITED gives (rejected = the before-image
+    text, chosen = the after-image text), prompted by the nearest
+    preceding user turn. Only a changelog-native engine can produce
+    this — the latest-image view has already forgotten the rejected
+    side. Covers op='u' and the D5 historical pair (op='r' carrying a
+    pre-image, `UserBehaviorDebeziumDeserializer.java:157-192`); a
+    no-op edit (text unchanged) yields no pair.
+
+    ``state`` is the served LWW corpus (``cdc.apply_changelog``):
+    prompts come from what a curation pipeline would actually serve, so
+    a user turn deleted by a later tombstone never prompts a pair
+    (documented choice — "as of the edit" prompts would need an
+    interval join per edit against the SCD2 table).
+
+    Output: conv_id, turn_idx, prompt (NULL when no user turn precedes
+    the edited turn), rejected, chosen, edit_seq — one row per edit
+    envelope, keyed (conv_id, turn_idx, edit_seq).
+
+    Scale: edits are a small fraction of the feed (narrow filter);
+    prompts are resolved with the same union → one-window-pass shape as
+    the as-of join (`joins.asof_join_backward`) — a single hash
+    exchange on conv_id, no range-join explosion, no per-edit lookup.
+    """
+    edits = envelopes.where(
+        (
+            (F.col("op") == "u")
+            | ((F.col("op") == "r") & F.col("before.conv_id").isNotNull())
+        )
+        & (F.col("after.role") == "assistant")
+        & F.col("before.text").isNotNull()
+        & F.col("after.text").isNotNull()
+        & (F.col("before.text") != F.col("after.text"))
+    ).select(
+        F.col("after.conv_id").alias("conv_id"),
+        F.col("after.turn_idx").alias("turn_idx"),
+        F.lit(1).alias("_is_edit"),
+        F.lit(None).cast("string").alias("_user_text"),
+        F.col("before.text").alias("rejected"),
+        F.col("after.text").alias("chosen"),
+        F.col("seq").alias("edit_seq"),
+    )
+    users = state.where(F.col("role") == "user").select(
+        "conv_id",
+        "turn_idx",
+        F.lit(0).alias("_is_edit"),
+        F.col("text").alias("_user_text"),
+        F.lit(None).cast("string").alias("rejected"),
+        F.lit(None).cast("string").alias("chosen"),
+        F.lit(None).cast("long").alias("edit_seq"),
+    )
+    # user rows sort before edit rows at equal turn_idx (can't collide
+    # on this feed — the edited turn is assistant-role — but pinned for
+    # generic feeds so a prompt is always STRICTLY preceding).
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx", "_is_edit")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        users.unionByName(edits)
+        .withColumn("prompt", F.last("_user_text", ignorenulls=True).over(w))
+        .where(F.col("_is_edit") == 1)
+        .select("conv_id", "turn_idx", "prompt", "rejected", "chosen", "edit_seq")
+    )
+
+
+def preference_pairs_sql(
+    mysql_changelog_sql: str, mongo_changelog_sql: str
+) -> str:
+    """DuckDB oracle: same LWW state reduction as CDC_APPLY_ORACLE,
+    same union → window prompt resolution. Mongo contributes state
+    rows (prompts) but no edits — its dialect is insert-only."""
+    return f"""
+WITH my AS ({mysql_changelog_sql}),
+     mo AS ({mongo_changelog_sql}),
+     env AS (
+       SELECT op, conv_id, turn_idx, role, after_text, seq,
+              CASE op WHEN 'd' THEN 3 WHEN 'u' THEN 2 WHEN 'c' THEN 1 ELSE 0 END AS op_rank
+       FROM my
+       UNION ALL
+       SELECT 'c', conv_id, turn_idx, role, text, create_time_ms, 1
+       FROM mo
+     ),
+     state AS (
+       SELECT conv_id, turn_idx,
+              max_by(op,   seq * 4 + op_rank) AS op,
+              max_by(role, seq * 4 + op_rank) AS role,
+              max_by(after_text, seq * 4 + op_rank) AS text
+       FROM env GROUP BY conv_id, turn_idx
+     ),
+     edits AS (
+       SELECT conv_id, turn_idx,
+              before_text AS rejected, after_text AS chosen,
+              seq AS edit_seq
+       FROM my
+       WHERE (op = 'u' OR (op = 'r' AND before_text IS NOT NULL))
+         AND role = 'assistant'
+         AND before_text IS NOT NULL AND after_text IS NOT NULL
+         AND before_text != after_text
+     ),
+     tagged AS (
+       SELECT conv_id, turn_idx, 0 AS is_edit, text AS user_text,
+              CAST(NULL AS VARCHAR) AS rejected,
+              CAST(NULL AS VARCHAR) AS chosen,
+              CAST(NULL AS BIGINT) AS edit_seq
+       FROM state WHERE op != 'd' AND role = 'user'
+       UNION ALL
+       SELECT conv_id, turn_idx, 1, NULL, rejected, chosen, edit_seq
+       FROM edits
+     ),
+     prompted AS (
+       SELECT *,
+              LAST_VALUE(user_text IGNORE NULLS) OVER (
+                PARTITION BY conv_id ORDER BY turn_idx, is_edit
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt
+       FROM tagged
+     )
+SELECT conv_id, turn_idx, prompt, rejected, chosen, edit_seq
+FROM prompted WHERE is_edit = 1
+"""

@@ -174,3 +174,96 @@ def test_asof_time_travel_shows_superseded_text(hist, spark):
         assert len(rows) == 1 and rows[0]["version"] == 1
     else:
         assert rows == []
+
+
+def test_preference_pairs_semantics(spark):
+    """Pairs exist exactly for changed assistant-turn edits; rejected +
+    ' [edited]' = chosen on this generator; the prompt is the nearest
+    STRICTLY-preceding served user turn (or NULL when none precedes)."""
+    env = changelog_envelopes(spark, SF_CORRECT)
+    state = cdc.apply_changelog(env)
+    pairs = history.preference_pairs(env, state).persist()
+    try:
+        n = pairs.count()
+        assert n > 0
+        # expected key set straight from the envelopes
+        expected = (
+            env.where(
+                "(op = 'u' OR (op = 'r' AND before.conv_id IS NOT NULL)) "
+                "AND after.role = 'assistant' "
+                "AND before.text IS NOT NULL AND after.text IS NOT NULL "
+                "AND before.text != after.text"
+            )
+            .select(
+                F.col("after.conv_id").alias("conv_id"),
+                F.col("after.turn_idx").alias("turn_idx"),
+                F.col("seq").alias("edit_seq"),
+            )
+        )
+        assert expected.count() == n
+        assert (
+            pairs.join(expected, ["conv_id", "turn_idx", "edit_seq"]).count()
+            == n
+        )
+        # generator edit law: chosen = rejected + ' [edited]'
+        assert (
+            pairs.where(
+                F.col("chosen") != F.concat(F.col("rejected"), F.lit(" [edited]"))
+            ).count()
+            == 0
+        )
+        # prompt law: equals the text of the max user turn_idx below the
+        # edited turn in the served state; NULL iff no such turn
+        users = state.where("role = 'user'").select(
+            "conv_id",
+            F.col("turn_idx").alias("u_idx"),
+            F.col("text").alias("u_text"),
+        )
+        joined = (
+            pairs.join(users, ["conv_id"], "left")
+            .where(F.col("u_idx") < F.col("turn_idx"))
+            .groupBy("conv_id", "turn_idx", "edit_seq", "prompt")
+            .agg(F.max_by("u_text", "u_idx").alias("want"))
+        )
+        assert joined.where("prompt IS NULL OR prompt != want").count() == 0
+        with_prompt = joined.count()
+        assert (
+            pairs.where("prompt IS NULL").count() == n - with_prompt
+        )
+    finally:
+        pairs.unpersist()
+
+
+def test_preference_pairs_never_prompts_with_deleted_user_turn(spark):
+    """A user turn that the LWW state tombstoned must not prompt a
+    pair — prompts come from the SERVED corpus (documented choice)."""
+    rows = [
+        # user turn 0 created then deleted; assistant turn 1 edited
+        ("c", None, ("k1", 0, "user", "ask once", None), 100),
+        ("d", ("k1", 0, "user", "ask once", None), None, 200),
+        ("c", None, ("k1", 1, "assistant", "v1", None), 150),
+        ("u", ("k1", 1, "assistant", "v1", None), ("k1", 1, "assistant", "v2", None), 300),
+        # control conv: user turn survives
+        ("c", None, ("k2", 0, "user", "kept ask", None), 100),
+        ("c", None, ("k2", 1, "assistant", "a1", None), 150),
+        ("u", ("k2", 1, "assistant", "a1", None), ("k2", 1, "assistant", "a2", None), 400),
+    ]
+
+    def img(t):
+        if t is None:
+            return None
+        c, i, r, x, tool = t
+        return (c, i, r, x, tool, None)
+
+    env = spark.createDataFrame(
+        [(op, img(b), img(a), s) for op, b, a, s in rows],
+        "op string, before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, after struct<conv_id:string,"
+        "turn_idx:int,role:string,text:string,tool:string,ts:timestamp>, "
+        "seq long",
+    )
+    got = {
+        r["conv_id"]: r["prompt"]
+        for r in history.preference_pairs(env, cdc.apply_changelog(env)).collect()
+    }
+    assert got == {"k1": None, "k2": "kept ask"}

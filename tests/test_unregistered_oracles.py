@@ -112,6 +112,13 @@ CASES = [
         lambda: history.edit_churn_sql(eq.MYSQL_CHANGELOG_SQL),
     ),
     (
+        "preference_pairs",
+        eq.q_preference_pairs,
+        lambda: history.preference_pairs_sql(
+            eq.MYSQL_CHANGELOG_SQL, eq.MONGO_CHANGELOG_SQL
+        ),
+    ),
+    (
         "ann_pq_topk",
         eq.q_ann_pq_topk,
         lambda: similarity.pq_topk_sql("embeddings"),
