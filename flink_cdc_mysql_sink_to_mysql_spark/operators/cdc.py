@@ -375,7 +375,9 @@ def lww_ord():
     return F.col("seq").cast("long") * 4 + op_rank()
 
 
-def apply_changelog(envelopes: DataFrame) -> DataFrame:
+def apply_changelog(
+    envelopes: DataFrame, extra_image_fields: dict[str, str] | None = None
+) -> DataFrame:
     """Keyed last-writer-wins materialization of the changelog → current
     transcript table (the "CDC upsert view", SURVEY.md §4.2).
 
@@ -387,6 +389,10 @@ def apply_changelog(envelopes: DataFrame) -> DataFrame:
 
     Tie-break within equal seq: d > u > c > r (a delete at the same seq as
     an insert wins — binlog order surrogate).
+
+    ``extra_image_fields`` (name → DDL type) appends evolved image
+    columns (schema evolution — `streaming/pipeline.envelope_ddl`);
+    they ride the same winner struct, so LWW applies to them unchanged.
     """
     key_ok = F.col("after").isNotNull() | F.col("before").isNotNull()
     kv = envelopes.where(key_ok).select(
@@ -402,6 +408,10 @@ def apply_changelog(envelopes: DataFrame) -> DataFrame:
     winners = kv.groupBy("conv_id", "turn_idx").agg(
         F.max_by("payload", "ord").alias("w")
     )
+    extras = [
+        F.col(f"w.after.{name}").cast(typ).alias(name)
+        for name, typ in (extra_image_fields or {}).items()
+    ]
     return winners.where(F.col("w.op") != "d").select(
         "conv_id",
         "turn_idx",
@@ -409,6 +419,7 @@ def apply_changelog(envelopes: DataFrame) -> DataFrame:
         F.col("w.after.text").alias("text"),
         F.col("w.after.tool").alias("tool"),
         F.col("w.after.ts").alias("ts"),
+        *extras,
     )
 
 

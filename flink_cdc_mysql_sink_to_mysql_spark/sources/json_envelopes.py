@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..streaming.pipeline import ENVELOPE_DDL
+from ..streaming.pipeline import ENVELOPE_DDL, envelope_ddl
 
 #: from_json schema = envelope + the PERMISSIVE corrupt-record capture
 #: column (Spark populates it for malformed JSON AND for type-coercion
@@ -72,7 +72,11 @@ VALID_OPS = ("c", "u", "r", "d")
 ENVELOPE_COLS = ("op", "before", "after", "source", "seq")
 
 
-def parse_envelope_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_envelope_lines(
+    raw: DataFrame,
+    value_col: str = "value",
+    extra_image_fields: dict[str, str] | None = None,
+) -> DataFrame:
     """JSON-line rows → typed envelope columns + ``_quarantine_reason``.
 
     Input: any DataFrame with a string column ``value_col`` (the shape
@@ -94,7 +98,15 @@ def parse_envelope_lines(raw: DataFrame, value_col: str = "value") -> DataFrame:
     is negligible and it introduces no shuffle (plan pinned by
     tests/test_plans.py::test_json_front_door_parses_once).
     """
-    e = F.from_json(F.col(value_col), ENVELOPE_JSON_DDL, _PARSE_OPTIONS)
+    ddl = (
+        ENVELOPE_JSON_DDL
+        if not extra_image_fields
+        # schema evolution: widen the image structs so an added
+        # upstream column is CAPTURED instead of silently ignored
+        # (pair with schema_drift_stats, which detects it first)
+        else envelope_ddl(extra_image_fields) + f", {_CORRUPT} string"
+    )
+    e = F.from_json(F.col(value_col), ddl, _PARSE_OPTIONS)
     parsed = raw.select(
         F.col(value_col).alias("_raw"), e.alias("_e0")
     ).select(
@@ -166,7 +178,11 @@ KNOWN_KEYS = {
 }
 
 
-def schema_drift_stats(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def schema_drift_stats(
+    raw: DataFrame,
+    value_col: str = "value",
+    extra_image_fields: dict[str, str] | None = None,
+) -> DataFrame:
     """Unknown-key census over a wire feed: (scope, key, n) for every
     JSON key present on the wire but absent from the parse schema.
 
@@ -174,10 +190,13 @@ def schema_drift_stats(raw: DataFrame, value_col: str = "value") -> DataFrame:
     schema evolution (Debezium picking up an added table column, a new
     envelope field like ``transaction``) is silently dropped by the
     front door. This diagnostic makes drift visible so the operator
-    knows when to evolve :data:`ENVELOPE_DDL` — run it on a sample or a
-    recent window, not the hot path (it re-tokenizes each line once per
-    nested scope). Malformed lines yield NULL key arrays and drop out —
-    they are the quarantine's business, not drift.
+    knows when to evolve the schema — the loop closes by passing the
+    detected image fields as ``extra_image_fields`` to
+    :func:`parse_envelope_lines` and the sink (they stop counting as
+    drift here once passed). Run it on a sample or a recent window, not
+    the hot path (it re-tokenizes each line once per nested scope).
+    Malformed lines yield NULL key arrays and drop out — they are the
+    quarantine's business, not drift.
 
     All Column expressions (json_object_keys / get_json_object), one
     explode per scope, one hash aggregate — distributable as-is.
@@ -213,10 +232,19 @@ def schema_drift_stats(raw: DataFrame, value_col: str = "value") -> DataFrame:
         )
     )
     allkeys = raw.select(F.explode(pairs).alias("p")).select("p.*")
+    known_keys = {
+        scope: keys
+        | (
+            set(extra_image_fields or {})
+            if scope in ("before", "after")
+            else set()
+        )
+        for scope, keys in KNOWN_KEYS.items()
+    }
     known = F.create_map(
         *[
             x
-            for scope, keys in sorted(KNOWN_KEYS.items())
+            for scope, keys in sorted(known_keys.items())
             for key in sorted(keys)
             for x in (F.lit(f"{scope}\x00{key}"), F.lit(1))
         ]

@@ -26,30 +26,43 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
-ENVELOPE_DDL = (
-    "op string,"
-    " before struct<conv_id:string,turn_idx:int,role:string,text:string,"
-    "tool:string,ts:timestamp>,"
-    " after struct<conv_id:string,turn_idx:int,role:string,text:string,"
-    "tool:string,ts:timestamp>,"
-    " source struct<db:string,table:string>,"
-    " seq long"
-)
+def envelope_ddl(extra_image_fields: dict[str, str] | None = None) -> str:
+    """The Debezium-shaped envelope DDL, optionally widened with evolved
+    per-image columns (name → Spark DDL type) appended to BOTH the
+    before and after structs — the schema-evolution moment for the wire
+    and spool readers (upstream Debezium picking up an added table
+    column). Old data NULL-fills the new field on read."""
+    image = "conv_id:string,turn_idx:int,role:string,text:string," "tool:string,ts:timestamp"
+    for name, typ in (extra_image_fields or {}).items():
+        image += f",{name}:{typ}"
+    return (
+        f"op string,"
+        f" before struct<{image}>,"
+        f" after struct<{image}>,"
+        " source struct<db:string,table:string>,"
+        " seq long"
+    )
+
+
+ENVELOPE_DDL = envelope_ddl()
 
 
 def envelope_stream(
     spark: SparkSession,
     spool_dir: str,
     max_files_per_trigger: int | None = 1,
+    extra_image_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """File-based streaming source of Debezium-shaped envelope rows.
 
     In production this is `readStream.format("iceberg")` (or Kafka with
     from_json) on the append-only changelog; the file spool keeps the
     identical plan shape in-sandbox. maxFilesPerTrigger bounds batch
-    size (reference flush-batching analog).
+    size (reference flush-batching analog). ``extra_image_fields``
+    widens the image structs (schema evolution — see
+    :func:`envelope_ddl`); a pre-evolution spool reads NULLs there.
     """
-    reader = spark.readStream.schema(ENVELOPE_DDL)
+    reader = spark.readStream.schema(envelope_ddl(extra_image_fields))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(spool_dir)
@@ -160,6 +173,7 @@ def materialize_stream(
     lineage_path: str | None = None,
     mongo_spool_dir: str | None = None,
     track_hot_convs: int | None = None,
+    extra_image_fields: dict[str, str] | None = None,
 ):
     """Run the changelog→table materialization as a stream, available-now.
 
@@ -189,7 +203,17 @@ def materialize_stream(
 
     # NOTE: the MERGE path needs no watermark (upserts are key-complete);
     # watermark_delay is honored by the windowed query path below.
-    env = envelope_stream(spark, spool_dir, max_files_per_trigger)
+    env = envelope_stream(
+        spark, spool_dir, max_files_per_trigger, extra_image_fields
+    )
+    if extra_image_fields and mongo_spool_dir is not None:
+        # the mongo normalizer builds the base image struct; unioning it
+        # with a widened mysql feed would need struct-level NULL-fill —
+        # evolve the mongo dialect explicitly before combining feeds
+        raise ValueError(
+            "extra_image_fields is not supported together with "
+            "mongo_spool_dir yet: widen the mongo dialect first"
+        )
     if mongo_spool_dir is not None:
         env = cdc.union_feeds(
             env, mongo_envelope_stream(spark, mongo_spool_dir, max_files_per_trigger)

@@ -90,10 +90,30 @@ def ord_expr():
     return lww_ord()
 
 
-def envelope_rows(batch: DataFrame) -> DataFrame:
+def envelope_rows(
+    batch: DataFrame, extra_fields: dict[str, str] | None = None
+) -> DataFrame:
     """Debezium-shaped envelope batch → flat sink rows (NOT key-unique)
     with the ord column. Shared by the parquet shim and the Iceberg
-    sink so both reduce batches with identical semantics."""
+    sink so both reduce batches with identical semantics.
+
+    ``extra_fields`` (name → Spark DDL type) projects evolved image
+    columns out of the ``after`` struct; a batch whose envelope schema
+    predates an extra (the struct lacks the field — e.g. the
+    synthesized expiry tombstones, or a pre-evolution spool replay)
+    NULL-fills it, which is exactly the Iceberg add-column read
+    semantic."""
+    after_names = set(batch.schema["after"].dataType.names)
+    extras = [
+        (
+            F.col(f"after.{name}")
+            if name in after_names
+            else F.lit(None)
+        )
+        .cast(typ)
+        .alias(name)
+        for name, typ in (extra_fields or {}).items()
+    ]
     return (
         batch.select(
             F.coalesce(F.col("after.conv_id"), F.col("before.conv_id")).alias(
@@ -106,6 +126,7 @@ def envelope_rows(batch: DataFrame) -> DataFrame:
             F.col("after.text").alias("text"),
             F.col("after.tool").alias("tool"),
             F.col("after.ts").alias("ts"),
+            *extras,
             F.col("seq").cast("long").alias("seq"),
             F.col("op"),
         )
@@ -136,10 +157,22 @@ def lww_delta(batch: DataFrame) -> DataFrame:
 
 @dataclass
 class MergeParquetSink:
-    """MERGE INTO-style upsert table keyed on (conv_id, turn_idx)."""
+    """MERGE INTO-style upsert table keyed on (conv_id, turn_idx).
+
+    **Schema evolution** (Iceberg add-column analog): ``extra_fields``
+    (ordered name → Spark DDL type) appends evolved image columns to
+    the sink schema. The TABLE owns its schema the same way it owns
+    n_buckets: the manifest records the evolved set, reopening with
+    fewer/no extras auto-adopts the stored ones (so maintenance jobs
+    never silently drop a column), reopening with MORE is the widening
+    moment (recorded at the next commit), and a type conflict refuses.
+    Widening is schema-on-read: committed buckets are never rewritten —
+    the explicit read schema NULL-fills the new column in old files —
+    and only buckets touched after the evolution carry it physically."""
 
     root: str
     n_buckets: int = 256
+    extra_fields: dict[str, str] | None = None
 
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
@@ -148,9 +181,34 @@ class MergeParquetSink:
     def _load_manifest(self) -> dict:
         try:
             with open(self._manifest_path()) as f:
-                return json.load(f)
+                manifest = json.load(f)
         except FileNotFoundError:
             return {"version": 0, "epochs": [], "buckets": {}}
+        self._sync_extra_fields(manifest)
+        return manifest
+
+    def _sync_extra_fields(self, manifest: dict) -> None:
+        """Reconcile the constructor's ``extra_fields`` with the
+        table-owned set in the manifest: adopt stored columns the
+        constructor omitted (a maintenance reopen must never narrow the
+        schema), keep constructor-only columns as a pending widening,
+        refuse a type conflict. Mutates ``self.extra_fields`` only —
+        the manifest is updated at commit time (merge/compact)."""
+        stored = dict(manifest.get("extra_fields") or [])
+        mine = dict(self.extra_fields or {})
+        for name, typ in stored.items():
+            if name in mine and mine[name].strip().lower() != typ:
+                raise ValueError(
+                    f"extra field {name!r}: table has type {typ!r} but the "
+                    f"sink was opened with {mine[name]!r}; evolved column "
+                    "types are immutable (add a NEW column instead)"
+                )
+        # stored first (their physical order is already on disk), then
+        # any new constructor columns in declaration order
+        merged = dict(stored)
+        for name, typ in mine.items():
+            merged.setdefault(name, typ.strip().lower())
+        self.extra_fields = merged or None
 
     def _commit_manifest(self, manifest: dict) -> None:
         os.makedirs(self.root, exist_ok=True)
@@ -160,11 +218,21 @@ class MergeParquetSink:
         os.replace(tmp, self._manifest_path())  # atomic snapshot swap
 
     # -- read --------------------------------------------------------------
-    _SCHEMA = (
+    _BASE_SCHEMA = (
         "conv_id string, turn_idx int, role string, text string,"
         " tool string, ts timestamp, seq long, op string, ord long,"
         " bucket int"
     )
+
+    @property
+    def _SCHEMA(self) -> str:
+        """Read schema = base + evolved columns. Parquet columns match
+        by NAME, so appending extras at the end reads every file
+        generation correctly: pre-evolution files NULL-fill them."""
+        extras = "".join(
+            f", {name} {typ}" for name, typ in (self.extra_fields or {}).items()
+        )
+        return self._BASE_SCHEMA + extras
 
     def read(self, spark: SparkSession) -> DataFrame:
         """Current snapshot as a DataFrame (empty if never committed)."""
@@ -247,8 +315,11 @@ class MergeParquetSink:
         if stored is not None and stored != self.n_buckets:
             self.n_buckets = stored
         manifest["n_buckets"] = self.n_buckets
+        if self.extra_fields:
+            # commit the (possibly widened) table-owned schema
+            manifest["extra_fields"] = list(self.extra_fields.items())
 
-        delta = envelope_rows(batch).withColumn(
+        delta = envelope_rows(batch, self.extra_fields).withColumn(
             "bucket",
             F.pmod(F.xxhash64("conv_id"), F.lit(self.n_buckets)).cast("int"),
         )
@@ -392,6 +463,10 @@ class MergeParquetSink:
                     "int"
                 ),
             )
+        if self.extra_fields:
+            # a compact is also a commit point for a pending widening —
+            # the rewrite materializes the evolved columns physically
+            manifest["extra_fields"] = list(self.extra_fields.items())
         new_version = manifest["version"] + 1
         verdir = f"v{new_version}-compact"
         # repartition on the stored bucket column → all rows of a bucket

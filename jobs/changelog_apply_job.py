@@ -117,16 +117,34 @@ def main() -> None:
         "unconditional --compact pays the full-table rewrite even "
         "when the sink is already tight)",
     )
+    ap.add_argument(
+        "--extra-field",
+        action="append",
+        default=None,
+        metavar="NAME:TYPE",
+        help="evolve the sink schema with an added image column (e.g. "
+        "rating:int) — repeatable; the table owns the evolved set "
+        "(a later run without the flag auto-adopts it), old rows read "
+        "NULL, type changes refuse (MergeParquetSink.extra_fields)",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("changelog-apply").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
 
+    extra_fields = None
+    if args.extra_field:
+        extra_fields = dict(
+            spec.split(":", 1) for spec in args.extra_field
+        )
+
     spool = os.path.join(args.workdir, "spool")
     ckpt = os.path.join(args.workdir, "checkpoint")
     sink = MergeParquetSink(
-        root=os.path.join(args.workdir, "sink"), n_buckets=args.n_buckets
+        root=os.path.join(args.workdir, "sink"),
+        n_buckets=args.n_buckets,
+        extra_fields=extra_fields,
     )
 
     # The checkpoint commits a fixed source topology: resuming the same
@@ -230,6 +248,7 @@ def main() -> None:
             lineage_path=lineage,
             mongo_spool_dir=mongo_spool,
             track_hot_convs=args.track_hot_convs,
+            extra_image_fields=extra_fields,
         )
 
     maintenance = {}

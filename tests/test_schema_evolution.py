@@ -1,0 +1,199 @@
+"""Schema evolution end-to-end: an upstream column appears on the wire
+(Debezium picks up an added table column) → the drift detector flags it
+→ the parse schema widens (`parse_envelope_lines(extra_image_fields=)`)
+→ the evolved column rides the envelopes, the LWW materialization, and
+the exactly-once MERGE sink — with old data NULL-filled on read (the
+Iceberg add-column semantic), narrowing prevented (a maintenance reopen
+auto-adopts the table-owned schema), and type changes refused.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc
+from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+    parse_envelope_lines,
+    schema_drift_stats,
+    split_quarantine,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+    envelope_ddl,
+    materialize_stream,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+
+EXTRA = {"rating": "int"}
+WIDE_DDL = envelope_ddl(EXTRA)
+
+
+def _img(conv, idx, role, text, rating=None):
+    return (conv, idx, role, text, None, None, rating)
+
+
+def _env_df(spark, rows):
+    return spark.createDataFrame(
+        [(op, b, a, None, s) for op, b, a, s in rows], WIDE_DDL
+    )
+
+
+def test_apply_changelog_carries_evolved_column(spark):
+    rows = [
+        ("c", None, _img("k1", 0, "user", "hi"), 100),
+        ("c", None, _img("k1", 1, "assistant", "v1", rating=3), 200),
+        # the edit updates the rating too — LWW must pick 5
+        ("u", _img("k1", 1, "assistant", "v1", 3), _img("k1", 1, "assistant", "v2", 5), 300),
+    ]
+    out = cdc.apply_changelog(_env_df(spark, rows), extra_image_fields=EXTRA)
+    got = {(r["turn_idx"]): (r["text"], r["rating"]) for r in out.collect()}
+    assert got == {0: ("hi", None), 1: ("v2", 5)}
+
+
+def test_sink_widens_on_reopen_and_nullfills_old_rows(spark, tmp_path):
+    root = str(tmp_path / "table")
+    # epoch 1: pre-evolution writer
+    pre = _env_df(
+        spark,
+        [
+            ("c", None, _img("a", 0, "user", "old row"), 100),
+            ("c", None, _img("b", 0, "user", "old row b"), 110),
+        ],
+    ).select("op", F.col("before").dropFields("rating").alias("before"),
+             F.col("after").dropFields("rating").alias("after"), "source", "seq")
+    sink0 = MergeParquetSink(root=root, n_buckets=4)
+    sink0.merge_changelog(pre, 1)
+
+    # reopen WITH the evolved column; epoch 2 carries it
+    sink1 = MergeParquetSink(root=root, n_buckets=4, extra_fields=dict(EXTRA))
+    post = _env_df(
+        spark,
+        [
+            ("c", None, _img("a", 1, "assistant", "new row", rating=4), 200),
+        ],
+    )
+    res = sink1.merge_changelog(post, 2)
+    assert not res.get("skipped")
+
+    snap = sink1.snapshot(spark)
+    assert "rating" in snap.columns
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["rating"] for r in snap.collect()
+    }
+    # old rows (including the UNTOUCHED bucket of conv b) read NULL
+    assert got == {("a", 0): None, ("b", 0): None, ("a", 1): 4}
+
+    # manifest records the table-owned schema
+    with open(f"{root}/_manifest.json") as f:
+        manifest = json.load(f)
+    assert manifest["extra_fields"] == [["rating", "int"]]
+
+    # epoch replay stays a no-op after evolution
+    assert sink1.merge_changelog(post, 2).get("skipped")
+
+
+def test_maintenance_reopen_adopts_stored_schema(spark, tmp_path):
+    root = str(tmp_path / "table")
+    sink = MergeParquetSink(root=root, n_buckets=4, extra_fields=dict(EXTRA))
+    sink.merge_changelog(
+        _env_df(spark, [("c", None, _img("a", 0, "user", "x", 7), 100)]), 1
+    )
+    # reopened WITHOUT extras (a maintenance job that doesn't know the
+    # schema) — must adopt, not narrow
+    plain = MergeParquetSink(root=root, n_buckets=4)
+    snap = plain.snapshot(spark)
+    assert [r["rating"] for r in snap.collect()] == [7]
+    # compaction through the plain handle preserves the evolved column
+    plain.compact(spark)
+    plain.vacuum()
+    snap2 = MergeParquetSink(root=root, n_buckets=4).snapshot(spark)
+    assert [r["rating"] for r in snap2.collect()] == [7]
+    with open(f"{root}/_manifest.json") as f:
+        assert json.load(f)["extra_fields"] == [["rating", "int"]]
+
+
+def test_type_conflict_refused(spark, tmp_path):
+    root = str(tmp_path / "table")
+    sink = MergeParquetSink(root=root, n_buckets=4, extra_fields=dict(EXTRA))
+    sink.merge_changelog(
+        _env_df(spark, [("c", None, _img("a", 0, "user", "x", 1), 100)]), 1
+    )
+    bad = MergeParquetSink(root=root, n_buckets=4, extra_fields={"rating": "string"})
+    with pytest.raises(ValueError, match="immutable"):
+        bad.read(spark)
+
+
+def test_wire_drift_detect_then_evolve_parse(spark):
+    base = {
+        "op": "c",
+        "after": {"conv_id": "w1", "turn_idx": 0, "role": "user", "text": "hello"},
+        "seq": 1,
+    }
+    evolved = {
+        "op": "c",
+        "after": {
+            "conv_id": "w1",
+            "turn_idx": 1,
+            "role": "assistant",
+            "text": "graded",
+            "rating": 9,
+        },
+        "seq": 2,
+    }
+    raw = spark.createDataFrame(
+        [(json.dumps(base),), (json.dumps(evolved),)], "value string"
+    )
+    # 1) detection: the unknown key is visible drift
+    drift = {
+        (r["scope"], r["key"]): r["n"]
+        for r in schema_drift_stats(raw).collect()
+    }
+    assert drift == {("after", "rating"): 1}
+    # 2) evolution: widen the parse; the key stops being drift and the
+    # value is captured losslessly
+    assert schema_drift_stats(raw, extra_image_fields=EXTRA).count() == 0
+    good, bad = split_quarantine(
+        parse_envelope_lines(raw, extra_image_fields=EXTRA)
+    )
+    assert bad.count() == 0
+    got = {r["after"]["turn_idx"]: r["after"]["rating"] for r in good.collect()}
+    assert got == {0: None, 1: 9}
+
+
+def test_streaming_materialize_with_evolved_column(spark, tmp_path):
+    spool = tmp_path / "spool"
+    # chunk 0: PRE-evolution spool file (no rating field at all) — the
+    # widened stream schema must NULL-fill it, not choke on it
+    spark.createDataFrame(
+        [("c", None, ("s0", 0, "user", "legacy", None, None), None, 50)],
+        envelope_ddl(),
+    ).coalesce(1).write.parquet(str(spool))
+    _env_df(
+        spark,
+        [
+            ("c", None, _img("s1", 0, "user", "q"), 100),
+            ("c", None, _img("s1", 1, "assistant", "a1", 2), 200),
+            ("u", _img("s1", 1, "assistant", "a1", 2), _img("s1", 1, "assistant", "a2", 5), 300),
+        ],
+    ).coalesce(1).write.mode("append").parquet(str(spool))
+    sink = MergeParquetSink(
+        root=str(tmp_path / "table"), n_buckets=4, extra_fields=dict(EXTRA)
+    )
+    materialize_stream(
+        spark,
+        str(spool),
+        sink,
+        str(tmp_path / "ckpt"),
+        extra_image_fields=EXTRA,
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["text"], r["rating"])
+        for r in sink.snapshot(spark).collect()
+    }
+    assert got == {
+        ("s0", 0): ("legacy", None),
+        ("s1", 0): ("q", None),
+        ("s1", 1): ("a2", 5),
+    }
