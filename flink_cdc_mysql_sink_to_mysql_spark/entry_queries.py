@@ -566,6 +566,17 @@ def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): the same rule evaluated over
+# the rule-independent (conv, kind, day) cube — the dynamic-rule serving
+# path (streaming/cohort_stream.run_dynamic_cohorts). SAME oracle as
+# cohort_exist: the cube evaluation must be row-identical to the direct
+# scan (algebraic re-aggregation, start-of-day cutoffs select whole
+# cells). Sweep in tests/test_unregistered_oracles.py.
+def q_cohort_exist_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cube = cohort.events_cube(_events_for_cohort(spark, sf_dir))
+    return cohort.exist_conv_ids_from_cube(cube, RULE_EXIST, COHORT_NOW)
+
+
 # NOT driver-registered (50-query budget): semantic search over the
 # LIVE CDC state — embed what the changelog has materialized and serve
 # broadcast top-k cosine over it (operators/semsearch.py; the A+B

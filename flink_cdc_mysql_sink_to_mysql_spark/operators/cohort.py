@@ -244,3 +244,88 @@ def rule_to_sql(
         f"SELECT conv_id FROM ({members_rel}) "
         f"WHERE conv_id NOT IN ({exist})"
     )
+
+
+# --- rule-independent pre-aggregation cube (dynamic-rule serving) -----
+
+#: rule dimension → re-aggregation over the cube's partials. SUM and
+#: COUNT re-combine as sums, MAX as max — all algebraic, so evaluating
+#: a rule over the cube is EXACT, not approximate.
+_DIM_CUBE = {
+    1: lambda: F.sum("sum_metric"),
+    2: lambda: F.sum("cnt"),
+    3: lambda: F.max("max_metric"),
+}
+
+
+def events_cube(events: DataFrame) -> DataFrame:
+    """Rule-INDEPENDENT pre-aggregation of the turn events: one row per
+    (conv_id, event_kind, day) carrying the three partials every rule
+    dimension needs (SUM/COUNT/MAX of the metric).
+
+    This is the Spark-first answer to *dynamic* cohort rules (the Flink
+    broadcast-state pattern): instead of wiring each rule into its own
+    streaming aggregation — and restarting state when the rule set
+    changes — maintain this compact cube incrementally and evaluate ANY
+    rule at serve time as filter + re-agg over it. Day grain is exact
+    because the reference cutoff is always start-of-day
+    (UserGroupClickHouseJob.java:87).
+
+    Scale: |convs| × |kinds ≤ 10| × |active days| rows — orders of
+    magnitude below the event count; one hash agg with map-side
+    partials to build, and every rule evaluation afterwards touches the
+    cube, never the events.
+    """
+    return events.groupBy(
+        "conv_id",
+        "event_kind",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+    ).agg(
+        F.sum("metric").alias("sum_metric"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.max("metric").alias("max_metric"),
+    )
+
+
+def exist_conv_ids_from_cube(
+    cube: DataFrame, rule: CohortRule, now: str
+) -> DataFrame:
+    """R1–R4 evaluated over :func:`events_cube` — row-identical to
+    :func:`exist_conv_ids` over the raw events (same oracle in tests):
+    the kind filter and start-of-day cutoff select whole cube cells,
+    and the HAVING dimensions re-aggregate exactly (algebraic)."""
+    df = cube
+    kind = TARGET_TO_KIND.get(rule.target)
+    if kind is not None:  # unmapped target ⇒ no filter (quirk R2)
+        df = df.where(F.col("event_kind") == kind)
+    df = df.where(F.col("day") >= cutoff_expr(now, rule.value_days))
+    if not rule.sub_params:
+        return df.select("conv_id").distinct()
+    aggs = []
+    conds = []
+    for i, sp in enumerate(rule.sub_params):
+        aggs.append(_DIM_CUBE[sp.dimension]().alias(f"_a{i}"))
+        conds.append(_OPS[sp.operator](F.col(f"_a{i}"), F.lit(sp.value)))
+    having = reduce(lambda a, b: a & b, conds)
+    return df.groupBy("conv_id").agg(*aggs).where(having).select("conv_id")
+
+
+def evaluate_rules_cube(
+    cube: DataFrame,
+    members: DataFrame,
+    rules: "list[CohortRule] | tuple[CohortRule, ...]",
+    now: str,
+) -> DataFrame:
+    """Evaluate a whole rule SET against the cube → (rule_id, conv_id)
+    memberships (rule_id = position in ``rules``). Each rule touches
+    the compact cube, not the events; not-exist rules anti-join the
+    member universe exactly like :func:`not_exist_conv_ids`."""
+    outs = []
+    for rid, rule in enumerate(rules):
+        ids = exist_conv_ids_from_cube(cube, rule, now)
+        if not rule.is_exist:
+            ids = members.join(ids, "conv_id", "left_anti")
+        outs.append(
+            ids.select(F.lit(rid).cast("int").alias("rule_id"), "conv_id")
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

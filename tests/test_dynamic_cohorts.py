@@ -1,0 +1,169 @@
+"""Dynamic cohort rules over the rule-independent cube — the Flink
+broadcast-state pattern, Structured-Streaming-first: the heavy state
+(the (conv, kind, day) cube) is rule-independent; rules live in a file
+reloaded per micro-batch, so a rule change lands on the next batch with
+no state restart. Oracle parity for the cube evaluation runs in
+tests/test_unregistered_oracles.py (same DuckDB oracle as cohort_exist).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, cohort
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+    mysql_changelog,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import cohort_stream as cs
+from tests.conftest import SF_SMOKE
+
+NOW = "2024-02-01 00:00:00"
+
+
+def _ids(df):
+    return {r["conv_id"] for r in df.collect()}
+
+
+def test_cube_evaluation_matches_direct_for_all_reference_rules(spark):
+    events = cdc.derive_turn_events(mysql_changelog(spark, SF_SMOKE))
+    events = events.persist()
+    try:
+        cube = cohort.events_cube(events).persist()
+        members = events.select("conv_id").distinct()
+        extra = (
+            # unmapped target (quirk) with HAVING over all 3 dims
+            cohort.CohortRule(
+                target=4,
+                is_exist=True,
+                value_days=60,
+                sub_params=(
+                    cohort.SubParam(1, 2, 10),
+                    cohort.SubParam(2, 0, 1),
+                    cohort.SubParam(3, 3, 500),
+                ),
+            ),
+        )
+        for rule in (*cohort.REFERENCE_RULES, *extra):
+            want = _ids(cohort.evaluate_rule(members, events, rule, NOW))
+            got_exist = _ids(
+                cohort.exist_conv_ids_from_cube(cube, rule, NOW)
+            )
+            if rule.is_exist:
+                assert got_exist == want, rule
+            else:
+                got = _ids(
+                    members.join(
+                        cohort.exist_conv_ids_from_cube(cube, rule, NOW),
+                        "conv_id",
+                        "left_anti",
+                    )
+                )
+                assert got == want, rule
+        # the set evaluator agrees rule-by-rule
+        both = cohort.evaluate_rules_cube(
+            cube, members, list(cohort.REFERENCE_RULES), NOW
+        )
+        for rid, rule in enumerate(cohort.REFERENCE_RULES):
+            assert _ids(both.where(F.col("rule_id") == rid)) == _ids(
+                cohort.evaluate_rule(members, events, rule, NOW)
+            )
+    finally:
+        events.unpersist()
+
+
+def _write_rules(path, rules):
+    specs = [
+        {
+            "target": r.target,
+            "is_exist": r.is_exist,
+            "value_days": r.value_days,
+            "sub_params": [
+                [sp.dimension, sp.operator, sp.value] for sp in r.sub_params
+            ],
+        }
+        for r in rules
+    ]
+    path.write_text(json.dumps(specs))
+
+
+def test_rule_change_lands_on_next_microbatch(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(600).persist()
+    spool = tmp_path / "spool"
+    half = env.limit(300)
+    rest = env.subtract(half)
+    half.coalesce(1).write.mode("overwrite").parquet(str(spool))
+
+    rules_path = tmp_path / "rules.json"
+    rule_loose = cohort.CohortRule(target=4, is_exist=True, value_days=3650)
+    _write_rules(rules_path, [rule_loose])
+
+    wd = str(tmp_path / "wd")
+    out1 = cs.run_dynamic_cohorts(
+        spark, str(spool), str(rules_path), wd, NOW
+    )
+    assert out1["epochs"]
+    m1 = cs.read_members(spark, wd)
+    n_loose = m1.count()
+    assert n_loose > 0  # everything seen so far is a member
+
+    # operator ships a STRICTER rule set (adds a HAVING) + new data lands
+    rule_strict = cohort.CohortRule(
+        target=4,
+        is_exist=True,
+        value_days=3650,
+        sub_params=(cohort.SubParam(2, 2, 50),),  # COUNT(*) >= 50
+    )
+    _write_rules(rules_path, [rule_loose, rule_strict])
+    rest.coalesce(1).write.mode("append").parquet(str(spool))
+
+    out2 = cs.run_dynamic_cohorts(
+        spark, str(spool), str(rules_path), wd, NOW
+    )
+    assert out2["epochs"]  # resumed and processed the new chunk
+    m2 = cs.read_members(spark, wd).persist()
+    try:
+        # rule 0 still evaluated; rule 1 appears without any state reset
+        rids = {r["rule_id"] for r in m2.select("rule_id").distinct().collect()}
+        assert rids == {0, 1}
+        # batch ground truth over the FULL feed
+        events = cdc.derive_turn_events(env)
+        members = events.select("conv_id").distinct()
+        want0 = _ids(cohort.evaluate_rule(members, events, rule_loose, NOW))
+        want1 = _ids(cohort.evaluate_rule(members, events, rule_strict, NOW))
+        assert _ids(m2.where("rule_id = 0")) == want0
+        assert _ids(m2.where("rule_id = 1")) == want1
+        assert len(want1) < len(want0)  # the HAVING actually bites
+    finally:
+        m2.unpersist()
+        env.unpersist()
+
+    # transitions: convs that appeared in later epochs ENTER; the strict
+    # rule's first appearance enters at its first evaluated epoch
+    tr = cs.membership_transitions(spark, wd)
+    assert tr.where("change = 'enter'").count() > 0
+    assert tr.where("rule_id = 1 AND change = 'exit'").count() == 0
+
+    # replay with a drained spool: no new epochs, snapshots unchanged
+    before = _ids(cs.read_members(spark, wd))
+    out3 = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out3["epochs"] == []
+    assert _ids(cs.read_members(spark, wd)) == before
+
+
+def test_streamed_cube_equals_batch_cube(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(400)
+    spool = tmp_path / "spool"
+    env.coalesce(2).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+    cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+
+    got = cs.current_cube(spark, cs.cube_delta_dir(wd)).select(
+        "conv_id", "event_kind", "day", "sum_metric", "cnt", "max_metric"
+    )
+    want = cohort.events_cube(cdc.derive_turn_events(env))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -129,6 +129,11 @@ CASES = [
         lambda: eq.COHORT_EXIST_ORACLE,
     ),
     (
+        "cohort_exist_cube",
+        eq.q_cohort_exist_cube,
+        lambda: eq.COHORT_EXIST_ORACLE,
+    ),
+    (
         "search_live_state",
         eq.q_search_live_state,
         lambda: __import__(
