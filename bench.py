@@ -75,6 +75,7 @@ ROUND3 = [
     "ann_pq_topk",
     "ann_pq_topk_adc",
     "cohort_exist_adaptive",
+    "cohort_exist_cube",
     "search_live_state",
     "search_index_pruned",
     "abandoned_conversations",

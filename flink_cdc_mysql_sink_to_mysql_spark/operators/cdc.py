@@ -93,23 +93,32 @@ def _name_col(kind_col) -> "F.Column":
     return F.element_at(m, kind_col)
 
 
-def normalize_mongo(mongo: DataFrame) -> DataFrame:
+def normalize_mongo(
+    mongo: DataFrame, extra_image_fields: dict[str, str] | None = None
+) -> DataFrame:
     """Mongo-dialect feed → common envelope (op/before/after/seq).
 
     Only ``operationType='insert'`` (case-insensitive) is consumed — D7
     parity with UserReviewBehaviorDebeziumDeserializer.java:44. The
     extended-JSON scalars are unpacked (`$oid` string id, `$date` epoch
     millis → timestamp, `:48-52`).
+
+    ``extra_image_fields`` widens the emitted envelope images (schema
+    evolution): an evolved column is taken from ``fullDocument`` when
+    the collection carries it, NULL-filled when only the mysql side
+    evolved — so the union of the two dialects stays well-typed.
     """
+    from ..streaming.pipeline import image_ddl
+
     fd = F.col("fullDocument")
+    doc_names = set(mongo.schema["fullDocument"].dataType.names)
+    extras = [
+        (fd[name] if name in doc_names else F.lit(None)).cast(typ).alias(name)
+        for name, typ in (extra_image_fields or {}).items()
+    ]
     return mongo.where(F.lower(F.col("operationType")) == "insert").select(
         F.lit("c").alias("op"),
-        F.lit(None)
-        .cast(
-            "struct<conv_id:string,turn_idx:int,role:string,text:string,"
-            "tool:string,ts:timestamp>"
-        )
-        .alias("before"),
+        F.lit(None).cast(image_ddl(extra_image_fields)).alias("before"),
         F.struct(
             fd["conv_id"].alias("conv_id"),
             fd["turn_idx"].cast("int").alias("turn_idx"),
@@ -117,6 +126,7 @@ def normalize_mongo(mongo: DataFrame) -> DataFrame:
             fd["text"].alias("text"),
             fd["tool"].alias("tool"),
             F.timestamp_millis(fd["create_time"]["date"]).alias("ts"),
+            *extras,
         ).alias("after"),
         F.struct(
             F.lit("bm-mall").alias("db"), F.lit("review").alias("table")
@@ -126,11 +136,19 @@ def normalize_mongo(mongo: DataFrame) -> DataFrame:
     )
 
 
-def union_feeds(mysql_env: DataFrame, mongo_env: DataFrame) -> DataFrame:
+def union_feeds(
+    mysql_env: DataFrame,
+    mongo_env: DataFrame,
+    extra_image_fields: dict[str, str] | None = None,
+) -> DataFrame:
     """U1: two-stream union (reference `connect` + identity CoMap,
-    UserBehaviorClickHouseSinkJob.java:66,103-113) — native unionByName."""
+    UserBehaviorClickHouseSinkJob.java:66,103-113) — native unionByName.
+    ``extra_image_fields`` must match the mysql feed's evolved image
+    schema; the mongo side NULL-fills columns its collection lacks."""
     mysql_env = mysql_env.withColumn("_kind_override", F.lit(None).cast("int"))
-    return mysql_env.unionByName(normalize_mongo(mongo_env))
+    return mysql_env.unionByName(
+        normalize_mongo(mongo_env, extra_image_fields)
+    )
 
 
 def derive_turn_events(envelopes: DataFrame) -> DataFrame:

@@ -26,19 +26,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
+def image_ddl(extra_image_fields: dict[str, str] | None = None) -> str:
+    """The per-image struct DDL (``struct<...>``), optionally widened
+    with evolved columns — single source for every reader that needs
+    the (possibly evolved) turn image type."""
+    image = "conv_id:string,turn_idx:int,role:string,text:string," "tool:string,ts:timestamp"
+    for name, typ in (extra_image_fields or {}).items():
+        image += f",{name}:{typ}"
+    return f"struct<{image}>"
+
+
 def envelope_ddl(extra_image_fields: dict[str, str] | None = None) -> str:
     """The Debezium-shaped envelope DDL, optionally widened with evolved
     per-image columns (name → Spark DDL type) appended to BOTH the
     before and after structs — the schema-evolution moment for the wire
     and spool readers (upstream Debezium picking up an added table
     column). Old data NULL-fills the new field on read."""
-    image = "conv_id:string,turn_idx:int,role:string,text:string," "tool:string,ts:timestamp"
-    for name, typ in (extra_image_fields or {}).items():
-        image += f",{name}:{typ}"
+    image = image_ddl(extra_image_fields)
     return (
         f"op string,"
-        f" before struct<{image}>,"
-        f" after struct<{image}>,"
+        f" before {image},"
+        f" after {image},"
         " source struct<db:string,table:string>,"
         " seq long"
     )
@@ -107,23 +115,33 @@ def dedup_envelopes(env: DataFrame, watermark_delay: str = "1 hour") -> DataFram
     )
 
 
-MONGO_DDL = (
-    "operationType string,"
-    " fullDocument struct<_id:struct<oid:string>,conv_id:string,"
-    "turn_idx:int,role:string,text:string,tool:string,"
-    "create_time:struct<date:long>>"
-)
+def mongo_ddl(extra_image_fields: dict[str, str] | None = None) -> str:
+    """Mongo-oplog dialect DDL; ``extra_image_fields`` widens
+    ``fullDocument`` the same way :func:`envelope_ddl` widens the
+    Debezium images (the collection evolved upstream)."""
+    doc = (
+        "_id:struct<oid:string>,conv_id:string,"
+        "turn_idx:int,role:string,text:string,tool:string,"
+        "create_time:struct<date:long>"
+    )
+    for name, typ in (extra_image_fields or {}).items():
+        doc += f",{name}:{typ}"
+    return f"operationType string, fullDocument struct<{doc}>"
+
+
+MONGO_DDL = mongo_ddl()
 
 
 def mongo_envelope_stream(
     spark: SparkSession,
     spool_dir: str,
     max_files_per_trigger: int | None = 1,
+    extra_image_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """Second dialect feed (Mongo oplog shape) as a stream — the raw
     `operationType/fullDocument` rows; normalization to the common
     envelope happens in cdc.union_feeds (U1 parity)."""
-    reader = spark.readStream.schema(MONGO_DDL)
+    reader = spark.readStream.schema(mongo_ddl(extra_image_fields))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(spool_dir)
@@ -206,17 +224,16 @@ def materialize_stream(
     env = envelope_stream(
         spark, spool_dir, max_files_per_trigger, extra_image_fields
     )
-    if extra_image_fields and mongo_spool_dir is not None:
-        # the mongo normalizer builds the base image struct; unioning it
-        # with a widened mysql feed would need struct-level NULL-fill —
-        # evolve the mongo dialect explicitly before combining feeds
-        raise ValueError(
-            "extra_image_fields is not supported together with "
-            "mongo_spool_dir yet: widen the mongo dialect first"
-        )
     if mongo_spool_dir is not None:
         env = cdc.union_feeds(
-            env, mongo_envelope_stream(spark, mongo_spool_dir, max_files_per_trigger)
+            env,
+            mongo_envelope_stream(
+                spark,
+                mongo_spool_dir,
+                max_files_per_trigger,
+                extra_image_fields,
+            ),
+            extra_image_fields,
         )
     env = env.observe(
         "engine",

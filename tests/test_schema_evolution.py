@@ -197,3 +197,59 @@ def test_streaming_materialize_with_evolved_column(spark, tmp_path):
         ("s1", 0): ("q", None),
         ("s1", 1): ("a2", 5),
     }
+
+
+def test_union_with_mongo_nullfills_evolved_column(spark, tmp_path):
+    """Both dialect feeds under an evolved schema: the mysql side
+    carries the new column, the mongo collection does NOT — the union
+    stays well-typed and mongo rows read NULL; a mongo collection that
+    DID evolve contributes real values."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+        mongo_ddl,
+    )
+
+    my = _env_df(
+        spark, [("c", None, _img("m1", 0, "assistant", "sql side", 8), 100)]
+    )
+    # base-schema mongo feed (collection not evolved)
+    mo_base = spark.createDataFrame(
+        [("insert", (("x1",), "g1", 0, "user", "mongo side", None, (555,)))],
+        mongo_ddl(),
+    )
+    env = cdc.union_feeds(my, mo_base, extra_image_fields=EXTRA)
+    got = {
+        r["after"]["conv_id"]: r["after"]["rating"] for r in env.collect()
+    }
+    assert got == {"m1": 8, "g1": None}
+
+    # evolved mongo collection carries the value
+    mo_wide = spark.createDataFrame(
+        [("insert", (("x2",), "g2", 0, "user", "mongo wide", None, (556,), 6))],
+        mongo_ddl(EXTRA),
+    )
+    env2 = cdc.union_feeds(my, mo_wide, extra_image_fields=EXTRA)
+    got2 = {
+        r["after"]["conv_id"]: r["after"]["rating"] for r in env2.collect()
+    }
+    assert got2 == {"m1": 8, "g2": 6}
+
+    # end-to-end: both spools stream into an evolved sink
+    my_spool, mo_spool = str(tmp_path / "my"), str(tmp_path / "mo")
+    my.coalesce(1).write.parquet(my_spool)
+    mo_wide.coalesce(1).write.parquet(mo_spool)
+    sink = MergeParquetSink(
+        root=str(tmp_path / "table"), n_buckets=4, extra_fields=dict(EXTRA)
+    )
+    pl.materialize_stream(
+        spark,
+        my_spool,
+        sink,
+        str(tmp_path / "ck"),
+        mongo_spool_dir=mo_spool,
+        extra_image_fields=EXTRA,
+    )
+    snap = {
+        r["conv_id"]: r["rating"] for r in sink.snapshot(spark).collect()
+    }
+    assert snap == {"m1": 8, "g2": 6}
