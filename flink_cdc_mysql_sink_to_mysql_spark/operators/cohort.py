@@ -31,12 +31,25 @@ from pyspark.sql import functions as F
 # deliberately absent — the unmapped-target⇒no-filter quirk.
 TARGET_TO_KIND = {0: 1, 1: 2, 2: 3, 3: 4, 6: 5, 8: 10}
 
-# dimension → agg builder (UserGroupDimensionEnum.java:9-11)
-_DIM_AGG = {
-    1: lambda: F.sum("metric"),
-    2: lambda: F.count(F.lit(1)),
-    3: lambda: F.max("metric"),
+#: THE dimension registry (UserGroupDimensionEnum.java:9-11): code →
+#: (algebraic fn, event column, cube partial column). Every dispatch
+#: table below — direct agg, salted spec, cube re-agg, and the
+#: streaming stats filter in cohort_stream — derives from this single
+#: source, so a new dimension lands everywhere or nowhere.
+DIMENSIONS = {
+    1: ("sum", "metric", "sum_metric"),
+    2: ("count", "_one", "cnt"),
+    3: ("max", "metric", "max_metric"),
 }
+
+
+def _dim_agg_col(dim: int):
+    fn, col, _ = DIMENSIONS[dim]
+    return F.count(F.lit(1)) if fn == "count" else getattr(F, fn)(col)
+
+
+# dimension → agg builder (derived)
+_DIM_AGG = {d: (lambda d=d: _dim_agg_col(d)) for d in DIMENSIONS}
 
 # operator code → Column comparison (UserGroupOperatorEnum.java:10-13)
 _OPS = {
@@ -113,8 +126,8 @@ def exist_conv_ids(events: DataFrame, rule: CohortRule, now: str) -> DataFrame:
 
 
 #: rule dimension → (algebraic fn, column) in plans/skew.py agg-spec
-#: form — the single source both salted variants share
-_DIM_SALTED = {1: ("sum", "metric"), 2: ("count", "_one"), 3: ("max", "metric")}
+#: form (derived from DIMENSIONS)
+_DIM_SALTED = {d: (fn, col) for d, (fn, col, _) in DIMENSIONS.items()}
 
 
 def _salted_rule_parts(events: DataFrame, rule: CohortRule, now: str):
@@ -248,14 +261,15 @@ def rule_to_sql(
 
 # --- rule-independent pre-aggregation cube (dynamic-rule serving) -----
 
-#: rule dimension → re-aggregation over the cube's partials. SUM and
-#: COUNT re-combine as sums, MAX as max — all algebraic, so evaluating
-#: a rule over the cube is EXACT, not approximate.
-_DIM_CUBE = {
-    1: lambda: F.sum("sum_metric"),
-    2: lambda: F.sum("cnt"),
-    3: lambda: F.max("max_metric"),
-}
+def _dim_cube_col(dim: int):
+    """Re-aggregation of a cube partial (derived from DIMENSIONS): SUM
+    and COUNT re-combine as sums, MAX as max — all algebraic, so
+    evaluating a rule over the cube is EXACT, not approximate."""
+    fn, _, partial = DIMENSIONS[dim]
+    return F.sum(partial) if fn in ("sum", "count") else getattr(F, fn)(partial)
+
+
+_DIM_CUBE = {d: (lambda d=d: _dim_cube_col(d)) for d in DIMENSIONS}
 
 
 def events_cube(events: DataFrame) -> DataFrame:
@@ -313,19 +327,34 @@ def exist_conv_ids_from_cube(
 def evaluate_rules_cube(
     cube: DataFrame,
     members: DataFrame,
-    rules: "list[CohortRule] | tuple[CohortRule, ...]",
+    rules,
     now: str,
 ) -> DataFrame:
     """Evaluate a whole rule SET against the cube → (rule_id, conv_id)
-    memberships (rule_id = position in ``rules``). Each rule touches
-    the compact cube, not the events; not-exist rules anti-join the
-    member universe exactly like :func:`not_exist_conv_ids`."""
+    memberships. ``rules`` is a mapping ``{stable_id: CohortRule}`` —
+    pass stable ids so deleting/reordering a rule in the file never
+    remaps the surviving rules' identities (which would fabricate
+    ENTER/EXIT transitions downstream); a plain sequence is accepted
+    for ad-hoc use with positional ids. An empty rule set yields an
+    empty frame, not an error (an operator may clear the file while
+    the stream runs). Each rule touches the compact cube, not the
+    events; not-exist rules anti-join the member universe exactly like
+    :func:`not_exist_conv_ids`."""
+    items = (
+        list(rules.items())
+        if isinstance(rules, dict)
+        else list(enumerate(rules))
+    )
+    if not items:
+        return cube.sparkSession.createDataFrame(
+            [], "rule_id int, conv_id string"
+        )
     outs = []
-    for rid, rule in enumerate(rules):
+    for rid, rule in items:
         ids = exist_conv_ids_from_cube(cube, rule, now)
         if not rule.is_exist:
             ids = members.join(ids, "conv_id", "left_anti")
         outs.append(
-            ids.select(F.lit(rid).cast("int").alias("rule_id"), "conv_id")
+            ids.select(F.lit(int(rid)).cast("int").alias("rule_id"), "conv_id")
         )
     return reduce(lambda a, b: a.unionByName(b), outs)

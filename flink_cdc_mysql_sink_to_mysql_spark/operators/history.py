@@ -271,12 +271,16 @@ def preference_pairs(envelopes: DataFrame, state: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("chosen"),
         F.lit(None).cast("long").alias("edit_seq"),
     )
-    # user rows sort before edit rows at equal turn_idx (can't collide
-    # on this feed — the edited turn is assistant-role — but pinned for
-    # generic feeds so a prompt is always STRICTLY preceding).
+    # edit rows sort BEFORE user rows at equal turn_idx, so the edit's
+    # running frame cannot include a user row at its own index — the
+    # prompt is always STRICTLY preceding. Can't collide on this feed
+    # (the edited turn is assistant-role in the served state) but
+    # pinned for generic feeds where a later update could flip the
+    # edited key's role to 'user' (review finding: the previous
+    # ascending order included the same-index user row in the frame).
     w = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx", "_is_edit")
+        .orderBy("turn_idx", F.desc("_is_edit"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -334,7 +338,7 @@ WITH my AS ({mysql_changelog_sql}),
      prompted AS (
        SELECT *,
               LAST_VALUE(user_text IGNORE NULLS) OVER (
-                PARTITION BY conv_id ORDER BY turn_idx, is_edit
+                PARTITION BY conv_id ORDER BY turn_idx, is_edit DESC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prompt
        FROM tagged
      )

@@ -94,10 +94,10 @@ def cohort_members(
     stats = current_stats(spark, delta_dir)
     if not rule.sub_params:
         return stats.select("conv_id")
+    # the maintained stats columns ARE the cube partials — derive the
+    # dimension → column map from the one registry (cohort.DIMENSIONS)
     col_for_dim = {
-        1: F.col("sum_metric"),
-        2: F.col("cnt"),
-        3: F.col("max_metric"),
+        d: F.col(partial) for d, (_, _, partial) in cohort.DIMENSIONS.items()
     }
     cond = None
     for sp in rule.sub_params:
@@ -109,19 +109,30 @@ def cohort_members(
 # --- dynamic rules over a rule-independent cube (broadcast-state analog)
 
 
-def load_rules(path: str) -> list[cohort.CohortRule]:
-    """Rule file → CohortRule list. Format: a JSON array of
-    ``{"target": int, "is_exist": bool, "value_days": int,
+def load_rules(path: str) -> dict[int, cohort.CohortRule]:
+    """Rule file → ``{stable_id: CohortRule}``. Format: a JSON array of
+    ``{"id": int?, "target": int, "is_exist": bool, "value_days": int,
     "sub_params": [[dimension, operator, value], ...]}`` — the
     UserGroupParam/SubParam wire shape (UserGroupClickHouseJob.java:
     65-78) as data instead of code, so operators ship rule changes
-    without a deploy."""
+    without a deploy.
+
+    ``id`` defaults to the position for back-compat, but give rules
+    EXPLICIT ids in a file that will ever be edited: with positional
+    ids, deleting rule 0 renumbers every survivor and the transition
+    history reads as a mass exit/enter that never happened (review
+    finding). Write the file with an atomic rename (tmp + mv) — it is
+    re-read per micro-batch."""
     import json
 
     with open(path) as f:
         specs = json.load(f)
-    return [
-        cohort.CohortRule(
+    out: dict[int, cohort.CohortRule] = {}
+    for i, s in enumerate(specs):
+        rid = int(s.get("id", i))
+        if rid in out:
+            raise ValueError(f"duplicate rule id {rid} in {path}")
+        out[rid] = cohort.CohortRule(
             target=s["target"],
             is_exist=s["is_exist"],
             value_days=s["value_days"],
@@ -129,8 +140,7 @@ def load_rules(path: str) -> list[cohort.CohortRule]:
                 cohort.SubParam(*sp) for sp in s.get("sub_params", ())
             ),
         )
-        for s in specs
-    ]
+    return out
 
 
 def cube_delta_dir(workdir: str) -> str:
@@ -163,6 +173,7 @@ def run_dynamic_cohorts(
     rules_path: str,
     workdir: str,
     now: str,
+    snapshot_every: int = 1,
 ) -> dict:
     """The broadcast-state pattern, Structured-Streaming-first: maintain
     the rule-independent cube (`cohort.events_cube` keys, update-mode)
@@ -177,12 +188,40 @@ def run_dynamic_cohorts(
     N are idempotent epoch-keyed directory overwrites (a replayed epoch
     rewrites identical content); the checkpoint owns progress.
 
-    Returns {"epochs": [...], "last_members": int}.
+    ``snapshot_every=N`` evaluates memberships only every Nth batch of
+    this run (the final drained state is ALWAYS snapshotted after the
+    stream ends): each evaluation re-reads the delta history, so
+    per-batch snapshots on a long spool cost O(batches²) I/O — thin
+    them out and run :func:`fold_cube_deltas` periodically to keep the
+    delta read bounded.
+
+    A torn/unparseable rule file (an operator saving non-atomically
+    mid-batch) falls back to the last good rule set instead of killing
+    the stream; if no rules ever loaded, the snapshot is empty.
+
+    Returns {"epochs": [...], "last_members": int, "rule_load_errors": n}.
     """
     ckpt = os.path.join(workdir, "ck_dyn")
     delta_dir = cube_delta_dir(workdir)
     mdir = members_dir(workdir)
     seen: list[int] = []
+    state = {"rules": {}, "loaded_once": False, "errors": 0, "batches": 0}
+
+    def _rules() -> dict:
+        try:
+            state["rules"] = load_rules(rules_path)
+            state["loaded_once"] = True
+        except (OSError, ValueError):
+            # torn write or bad edit: keep serving the last good set
+            state["errors"] += 1
+        return state["rules"]
+
+    def _snapshot(eid: int) -> None:
+        rules = _rules()
+        cur = current_cube(spark, delta_dir)
+        members = cur.select("conv_id").distinct()
+        out = cohort.evaluate_rules_cube(cur, members, rules, now)
+        out.write.mode("overwrite").parquet(os.path.join(mdir, f"epoch={eid}"))
 
     env = envelope_stream(spark, spool_dir)
     events = cdc.derive_turn_events(env)
@@ -193,13 +232,9 @@ def run_dynamic_cohorts(
         batch.withColumn("_epoch", F.lit(eid)).write.mode("overwrite").parquet(
             os.path.join(delta_dir, f"epoch={eid}")
         )
-        # serve-time evaluation over the cube SO FAR, with the rules as
-        # they stand NOW (reloaded per batch — the broadcast-state hook)
-        rules = load_rules(rules_path)
-        cur = current_cube(spark, delta_dir)
-        members = cur.select("conv_id").distinct()
-        out = cohort.evaluate_rules_cube(cur, members, rules, now)
-        out.write.mode("overwrite").parquet(os.path.join(mdir, f"epoch={eid}"))
+        state["batches"] += 1
+        if state["batches"] % max(1, snapshot_every) == 0:
+            _snapshot(eid)
         seen.append(eid)
 
     q = (
@@ -210,11 +245,60 @@ def run_dynamic_cohorts(
         .start()
     )
     q.awaitTermination()
+    # the DRAINED state always gets a snapshot (snapshot_every thinning
+    # must not leave the final memberships stale)
+    if seen and not os.path.isdir(
+        os.path.join(mdir, f"epoch={seen[-1]}")
+    ):
+        _snapshot(seen[-1])
     last = read_members(spark, workdir)
     return {
         "epochs": seen,
         "last_members": last.count() if last is not None else 0,
+        "rule_load_errors": state["errors"],
     }
+
+
+def fold_cube_deltas(spark: SparkSession, workdir: str) -> dict:
+    """Compact the cube-delta history: fold every epoch dir into ONE
+    base dir holding the current cube (each cell keeping its max
+    ``_epoch``), then delete the folded dirs. Keeps :func:`current_cube`
+    reads O(cube) instead of O(all deltas ever) on a long-running
+    stream — the cube analog of the sink's ``compact()``. Run it
+    between stream invocations (single-writer window).
+
+    Crash-safe without a swap: the fold is written as a NEW epoch-style
+    dir at a negative id (stream epochs are ≥ 0) and the old dirs are
+    deleted afterwards; a crash in between leaves duplicates whose
+    per-cell (value, _epoch) pairs are identical, which the LWW max_by
+    in :func:`current_cube` collapses deterministically."""
+    delta_dir = cube_delta_dir(workdir)
+    if not os.path.isdir(delta_dir):
+        return {"folded": False, "reason": "no deltas"}
+    old = [n for n in os.listdir(delta_dir) if n.startswith("epoch=")]
+    if len(old) <= 1:
+        return {"folded": False, "reason": "already compact"}
+    # next fold id: one below the lowest existing (first fold: -1)
+    fold_id = min(int(n.split("=", 1)[1]) for n in old) - 1
+    folded = (
+        spark.read.parquet(delta_dir)
+        .groupBy("conv_id", "event_kind", "day")
+        .agg(
+            F.max_by(
+                F.struct("sum_metric", "cnt", "max_metric"), F.col("_epoch")
+            ).alias("w"),
+            F.max("_epoch").alias("_epoch"),
+        )
+        .select("conv_id", "event_kind", "day", "w.*", "_epoch")
+    )
+    folded.write.mode("overwrite").parquet(
+        os.path.join(delta_dir, f"epoch={fold_id}")
+    )
+    import shutil
+
+    for n in old:
+        shutil.rmtree(os.path.join(delta_dir, n))
+    return {"folded": True, "into": fold_id, "removed_dirs": len(old)}
 
 
 def _member_epochs(workdir: str) -> list[int]:
@@ -247,6 +331,10 @@ def membership_transitions(spark: SparkSession, workdir: str) -> DataFrame:
     never carries cross-epoch state, so replays cannot corrupt the
     transition history (recomputing it is free and deterministic)."""
     epochs = _member_epochs(workdir)
+    if not epochs:
+        return spark.createDataFrame(
+            [], "epoch int, rule_id int, conv_id string, change string"
+        )
     frames = [
         spark.read.parquet(os.path.join(members_dir(workdir), f"epoch={e}"))
         .select(F.lit(e).alias("epoch"), "rule_id", "conv_id")

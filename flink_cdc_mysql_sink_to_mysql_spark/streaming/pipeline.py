@@ -468,20 +468,31 @@ def replay_dlq(spark: SparkSession, dlq_dir: str, sink, parse_fn=None) -> dict:
     out = {"epochs": [], "recovered": 0, "still_bad": 0}
     if not os.path.isdir(dlq_dir):
         return out
-    # Recover interrupted swaps before scanning: a crash between the
-    # rmtree and the os.replace below leaves only `epoch=N.rewrite`
-    # (the completed leftovers); finish the swap. A crash mid-tmp-write
-    # leaves BOTH dirs — the tmp is partial, the original is intact, so
-    # drop the tmp and let the normal drain rewrite it.
+    # Recover interrupted swaps before scanning. The write sequence is
+    # write tmp → rmtree(original) → os.replace, so a crash leaves one
+    # of three layouts, discriminated by the tmp's Spark _SUCCESS
+    # commit marker (a partial write never has one):
+    #   - tmp only                → swap finished its rmtree: complete
+    #     the replace (the tmp IS the committed leftovers);
+    #   - both, tmp COMMITTED     → crash during/just before rmtree —
+    #     the original may already be torn, the tmp is authoritative:
+    #     replace the original with it (review finding: assuming the
+    #     original was intact here could lose rows rmtree had removed);
+    #   - both, tmp uncommitted   → crash mid-tmp-write: the original
+    #     is untouched and authoritative; drop the partial tmp.
     for name in sorted(os.listdir(dlq_dir)):
         if not (name.startswith("epoch=") and name.endswith(".rewrite")):
             continue
         tmp = os.path.join(dlq_dir, name)
         target = tmp[: -len(".rewrite")]
-        if os.path.isdir(target):
-            shutil.rmtree(tmp)
-        else:
+        committed = os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        if not os.path.isdir(target):
             os.replace(tmp, target)
+        elif committed:
+            shutil.rmtree(target)
+            os.replace(tmp, target)
+        else:
+            shutil.rmtree(tmp)
     for name in sorted(os.listdir(dlq_dir)):
         if not name.startswith("epoch=") or name.endswith(".rewrite"):
             continue

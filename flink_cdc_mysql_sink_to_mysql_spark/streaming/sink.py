@@ -174,6 +174,27 @@ class MergeParquetSink:
     n_buckets: int = 256
     extra_fields: dict[str, str] | None = None
 
+    def __post_init__(self) -> None:
+        # normalize type specs up front: without this, a FRESH table
+        # created with {'rating': 'INT'} commits the raw spelling into
+        # the manifest and the very next _sync_extra_fields compares
+        # 'int' != 'INT' and refuses as a type change (review finding)
+        if self.extra_fields:
+            self.extra_fields = {
+                name: typ.strip().lower()
+                for name, typ in self.extra_fields.items()
+            }
+
+    def evolved_fields(self) -> dict[str, str] | None:
+        """The table-owned evolved column set: constructor extras merged
+        with whatever the manifest recorded (adoption — never narrower
+        than the table). Use this, not the raw constructor value, to
+        widen UPSTREAM readers (envelope_stream / parse): a stream fed
+        with a narrower schema than the table would NULL-fill evolved
+        columns in its deltas and LWW those NULLs over stored values."""
+        self._load_manifest()
+        return dict(self.extra_fields) if self.extra_fields else None
+
     # -- manifest ----------------------------------------------------------
     def _manifest_path(self) -> str:
         return os.path.join(self.root, MANIFEST)

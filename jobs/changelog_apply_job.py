@@ -146,6 +146,12 @@ def main() -> None:
         n_buckets=args.n_buckets,
         extra_fields=extra_fields,
     )
+    # The STREAM schema must track the TABLE's evolved set, not just the
+    # CLI flag: resuming an evolved table without --extra-field would
+    # otherwise parse the spool with the base schema, NULL-fill the
+    # evolved columns in every delta, and LWW those NULLs over stored
+    # values (silent data loss — review finding).
+    extra_fields = sink.evolved_fields()
 
     # The checkpoint commits a fixed source topology: resuming the same
     # workdir with a different --with-mongo would make Spark abort with

@@ -65,6 +65,7 @@ def main() -> None:
     if args.init_rules and not os.path.exists(args.rules):
         specs = [
             {
+                "id": i,
                 "target": r.target,
                 "is_exist": r.is_exist,
                 "value_days": r.value_days,
@@ -73,7 +74,7 @@ def main() -> None:
                     for sp in r.sub_params
                 ],
             }
-            for r in cohort.REFERENCE_RULES
+            for i, r in enumerate(cohort.REFERENCE_RULES)
         ]
         with open(args.rules, "w") as f:
             json.dump(specs, f)

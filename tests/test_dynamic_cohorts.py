@@ -76,6 +76,7 @@ def test_cube_evaluation_matches_direct_for_all_reference_rules(spark):
 def _write_rules(path, rules):
     specs = [
         {
+            "id": i,
             "target": r.target,
             "is_exist": r.is_exist,
             "value_days": r.value_days,
@@ -83,7 +84,7 @@ def _write_rules(path, rules):
                 [sp.dimension, sp.operator, sp.value] for sp in r.sub_params
             ],
         }
-        for r in rules
+        for i, r in enumerate(rules)
     ]
     path.write_text(json.dumps(specs))
 
@@ -167,3 +168,77 @@ def test_streamed_cube_equals_batch_cube(spark, tmp_path):
     want = cohort.events_cube(cdc.derive_turn_events(env))
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_rule_file_hazards_and_fold(spark, tmp_path):
+    """Operator-facing robustness: an EMPTY rule file yields an empty
+    snapshot (not a crash); a TORN rule file falls back to the last
+    good set; stable ids survive a rule deletion without remapping;
+    fold_cube_deltas compacts the delta history without changing the
+    served cube."""
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(3).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    wd = str(tmp_path / "wd")
+
+    # 1) empty rule set: runs clean, snapshot empty
+    rules_path.write_text("[]")
+    out = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out["rule_load_errors"] == 0
+    assert cs.read_members(spark, wd).count() == 0
+
+    # 2) stable ids: rule with explicit id 7 keeps identity
+    rules_path.write_text(
+        json.dumps([{"id": 7, "target": 4, "is_exist": True, "value_days": 3650}])
+    )
+    rules = cs.load_rules(str(rules_path))
+    assert list(rules) == [7]
+
+    # 3) torn file: fallback to last good — new data still processes
+    env2 = mysql_changelog(spark, SF_SMOKE).orderBy("seq", ascending=False).limit(50)
+    env2.coalesce(1).write.mode("append").parquet(str(spool))
+    rules_path.write_text('[{"id": 7, "target": 4,')  # torn write
+    out2 = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out2["epochs"]
+    assert out2["rule_load_errors"] >= 1
+    # last good set was EMPTY (from step 1's run) → snapshot still empty
+    assert cs.read_members(spark, wd).count() == 0
+
+    # 4) fold: the served cube is identical before and after
+    before = sorted(
+        map(tuple, cs.current_cube(spark, cs.cube_delta_dir(wd)).collect())
+    )
+    res = cs.fold_cube_deltas(spark, wd)
+    assert res["folded"] and res["removed_dirs"] >= 2
+    after = sorted(
+        map(tuple, cs.current_cube(spark, cs.cube_delta_dir(wd)).collect())
+    )
+    assert before == after
+    # idempotent second fold: nothing left to do
+    assert cs.fold_cube_deltas(spark, wd)["folded"] is False
+
+
+def test_snapshot_every_still_snapshots_final_state(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(3).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+    out = cs.run_dynamic_cohorts(
+        spark, str(spool), str(rules_path), wd, NOW, snapshot_every=10
+    )
+    assert len(out["epochs"]) == 3
+    # only the final drained state was snapshotted, and it matches batch
+    assert cs._member_epochs(wd) == [out["epochs"][-1]]
+    events = cdc.derive_turn_events(env)
+    want = _ids(
+        cohort.evaluate_rule(
+            events.select("conv_id").distinct(),
+            events,
+            cohort.CohortRule(4, True, 3650),
+            NOW,
+        )
+    )
+    assert _ids(cs.read_members(spark, wd)) == want

@@ -267,3 +267,30 @@ def test_preference_pairs_never_prompts_with_deleted_user_turn(spark):
         for r in history.preference_pairs(env, cdc.apply_changelog(env)).collect()
     }
     assert got == {"k1": None, "k2": "kept ask"}
+
+
+def test_preference_pair_prompt_is_strictly_preceding(spark):
+    """Generic-feed guard: if a LATER update flips the edited key's
+    role to 'user', the same-index state row must NOT become the
+    edit's own prompt — prompts are strictly preceding (tie-break:
+    edits sort before user rows at equal turn_idx)."""
+    rows = [
+        ("c", None, ("k", 1, "assistant", "a1", None, None), 100),
+        # the edit that mines the pair
+        ("u", ("k", 1, "assistant", "a1", None, None),
+              ("k", 1, "assistant", "a2", None, None), 200),
+        # later update flips the key's served role to user
+        ("u", ("k", 1, "assistant", "a2", None, None),
+              ("k", 1, "user", "now user text", None, None), 300),
+    ]
+    env = spark.createDataFrame(
+        rows,
+        "op string, before struct<conv_id:string,turn_idx:int,role:string,"
+        "text:string,tool:string,ts:timestamp>, after struct<conv_id:string,"
+        "turn_idx:int,role:string,text:string,tool:string,ts:timestamp>, "
+        "seq long",
+    )
+    pairs = history.preference_pairs(env, cdc.apply_changelog(env)).collect()
+    assert len(pairs) == 1
+    assert pairs[0]["prompt"] is None  # NOT "now user text"
+    assert (pairs[0]["rejected"], pairs[0]["chosen"]) == ("a1", "a2")

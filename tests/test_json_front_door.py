@@ -346,18 +346,28 @@ def test_replay_dlq_completes_interrupted_swap(spark, tmp_path):
     # epoch 0 crashed after rmtree: ONLY the .rewrite dir exists,
     # holding the still-bad leftovers of a committed drain.
     _dlq_write("epoch=0.rewrite", [("still bad", "unparseable")])
-    # epoch 1 crashed mid-tmp-write: both dirs exist; the original is
-    # authoritative, the tmp is partial garbage.
+    # epoch 1 crashed mid-tmp-write: both dirs exist and the tmp is
+    # PARTIAL (no _SUCCESS commit marker) — the original is
+    # authoritative, the garbage tmp is dropped.
     _dlq_write("epoch=1", [("not json", "unparseable"), ("also bad", "bad_op")])
     _dlq_write("epoch=1.rewrite", [("partial", "unparseable")])
+    os.remove(str(dlq_dir / "epoch=1.rewrite" / "_SUCCESS"))
+    # epoch 2 crashed during rmtree: both dirs exist, the tmp is
+    # COMMITTED — the original may be torn, the tmp wins.
+    _dlq_write("epoch=2", [("torn original", "unparseable")])
+    _dlq_write("epoch=2.rewrite", [("committed leftover", "bad_op")])
 
     out = replay_dlq(spark, str(dlq_dir), sink)
     assert out["recovered"] == 0
-    # epoch 0's swap completed (1 leftover); epoch 1 kept its 2 originals
-    assert [e["still_bad"] for e in out["epochs"]] == [1, 2]
-    assert sorted(os.listdir(dlq_dir)) == ["epoch=0", "epoch=1"]
-    assert read_dlq(spark, str(dlq_dir)).count() == 3
+    # epoch 0 swap completed (1); epoch 1 kept its 2 originals;
+    # epoch 2 took the committed tmp (1)
+    assert [e["still_bad"] for e in out["epochs"]] == [1, 2, 1]
+    assert sorted(os.listdir(dlq_dir)) == ["epoch=0", "epoch=1", "epoch=2"]
+    dlq = read_dlq(spark, str(dlq_dir))
+    assert dlq.count() == 4
+    assert dlq.where("_raw = 'committed leftover'").count() == 1
+    assert dlq.where("_raw = 'torn original'").count() == 0
 
     # idempotent: a second drain sees the same stable queue
     out2 = replay_dlq(spark, str(dlq_dir), sink)
-    assert out2["recovered"] == 0 and out2["still_bad"] == 3
+    assert out2["recovered"] == 0 and out2["still_bad"] == 4

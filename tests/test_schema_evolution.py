@@ -253,3 +253,30 @@ def test_union_with_mongo_nullfills_evolved_column(spark, tmp_path):
         r["conv_id"]: r["rating"] for r in sink.snapshot(spark).collect()
     }
     assert snap == {"m1": 8, "g2": 6}
+
+
+def test_evolved_fields_and_type_normalization(spark, tmp_path):
+    """Review-finding guards: (1) a FRESH table created with a
+    non-lowercase type spec must not wedge itself on the next read
+    ('INT' vs 'int' false type-change); (2) `evolved_fields()` exposes
+    the table-owned set to a plain reopen so the apply job can widen
+    the STREAM schema from the table, not just the CLI flag — feeding
+    an evolved sink from a base-schema stream would LWW NULLs over
+    stored values."""
+    root = str(tmp_path / "table")
+    sink = MergeParquetSink(root=root, n_buckets=4, extra_fields={"rating": "INT"})
+    sink.merge_changelog(
+        _env_df(spark, [("c", None, _img("a", 0, "user", "x", 3), 100)]), 1
+    )
+    # second merge re-loads the manifest — must not raise 'immutable'
+    sink.merge_changelog(
+        _env_df(spark, [("c", None, _img("a", 1, "user", "y", 4), 110)]), 2
+    )
+    # plain maintenance reopen sees the table-owned schema
+    plain = MergeParquetSink(root=root, n_buckets=4)
+    assert plain.evolved_fields() == {"rating": "int"}
+    # a fresh, never-committed sink reports its constructor extras
+    fresh = MergeParquetSink(
+        root=str(tmp_path / "new"), n_buckets=4, extra_fields={"score": "DOUBLE"}
+    )
+    assert fresh.evolved_fields() == {"score": "double"}
