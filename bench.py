@@ -79,6 +79,7 @@ ROUND3 = [
     "search_live_state",
     "search_index_pruned",
     "abandoned_conversations",
+    "near_dups_live_state",
 ]
 
 

@@ -589,6 +589,31 @@ def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# NOT driver-registered (50-query budget): conversation-grain near-dup
+# pairs served from the maintained band index (operators/dedup.py:
+# minhash_index_rows + near_dup_pairs_from_index). Oracle = DuckDB
+# brute-force conv-grain Jaccard over the materialized corpus — on this
+# corpus the qualifying set is EMPTY (max conv-grain jaccard ≈ 0.14),
+# so the sweep checks schema + no-false-positives; planted-dup recall
+# and CDC-following are pinned in tests/test_dedup_index.py.
+def q_near_dups_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = cdc.apply_changelog(changelog_envelopes(spark, sf_dir))
+    index = dedup.minhash_index_rows(state)
+    return dedup.near_dup_pairs_from_index(index, state)
+
+
+NEAR_DUPS_LIVE_ORACLE_TMPL = """
+SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM ({inner})
+"""
+
+
+def near_dups_live_oracle() -> str:
+    inner = dedup.jaccard_pairs_sql(
+        f"({dedup.conv_texts_sql(CDC_APPLY_ORACLE)})"
+    )
+    return NEAR_DUPS_LIVE_ORACLE_TMPL.format(inner=inner)
+
+
 # NOT driver-registered (50-query budget): the timer-CEP batch twin —
 # abandoned activity bursts (gap-sessionize; every session whose end
 # the final watermark passed). The streaming form

@@ -328,6 +328,74 @@ def _minhash_from_shingle_rows(ex: DataFrame) -> DataFrame:
     )
 
 
+def _band_rows(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) LSH band rows from a signature frame —
+    band_key = md5 over the band's minhash row (16-byte join key).
+    Shared by the batch pipeline and the streaming-maintained index."""
+    rows = NUM_HASHES // BANDS
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"mh{i * rows + r}").cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for i in range(BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.band_key")
+
+
+def _count_jaccard_verify(
+    cand: DataFrame, sdist: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard filter over candidate (doc_a, doc_b) pairs WITHOUT
+    moving shingle arrays: intersection counted through the exploded
+    distinct (doc_id, s) relation, union from per-doc sizes. Every join
+    key is a narrow (id) or (id, s) column — nothing for a broadcast
+    misestimate to blow up (the sf10 lesson; see minhash_lsh_pairs)."""
+    sizes = sdist.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
+    shared = (
+        cand.join(sdist.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sdist.withColumnRenamed("doc_id", "doc_b"),
+            ["doc_b", "s"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("int").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")).cast("double")
+    )
+    return (
+        shared.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b")
+            ),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -366,28 +434,7 @@ def minhash_lsh_pairs(
         shr = shr.persist(level)
         _PERSISTED.append(shr)
     sigs = _minhash_from_shingle_rows(shr)
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col(f"mh{i * rows + r}").cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_key"),
-                    )
-                    for i in range(BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.band_key")
+    bands = _band_rows(sigs)
     if materialize:
         # tiny (BANDS rows/doc of 16-byte keys) — both self-join sides
         # read this instead of re-running the signature aggregation
@@ -408,19 +455,10 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Exact-Jaccard verify WITHOUT ever moving a shingle ARRAY: count
-    # shared shingles through the exploded relation itself.
-    #   inter(a,b) = |{s : (a,s) ∧ (b,s)}|   via two id-keyed joins
-    #   union(a,b) = |A| + |B| − inter        via per-doc distinct counts
-    # An earlier array form (collect_set per doc, array_intersect per
-    # pair) was a scale trap: the candidate side LOOKS tiny to the
-    # planner (id pairs) but carries the shingle arrays after its first
-    # join — at sf10 a ~1 GB mis-sized auto-broadcast that OOMed the
-    # driver build. Here every join key is a narrow (id) or (id, s)
-    # column, every payload an int — nothing for a misestimate to blow
-    # up, AQE splits skewed candidates, and the per-pair work is a
-    # count instead of two O(|A|+|B|) array scans. Values bit-identical:
-    # same integer inter/union, same double division.
+    # Exact-Jaccard verify via _count_jaccard_verify (count-based; see
+    # its docstring for why the array form was a sf10 scale trap).
+    # Values bit-identical to the array form: same integer inter/union,
+    # same double division.
     sdist = shr.distinct()
     if materialize:
         # corpus-sized (one row per distinct (doc, shingle)), read 3×
@@ -429,35 +467,7 @@ def minhash_lsh_pairs(
         # touch the local blockmgr disk — see _shingle_storage_level).
         sdist = sdist.persist(level)
         _PERSISTED.append(sdist)
-    sizes = sdist.groupBy("doc_id").agg(F.count("*").cast("int").alias("nsh"))
-    shared = (
-        cand.join(sdist.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sdist.withColumnRenamed("doc_id", "doc_b"),
-            ["doc_b", "s"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").cast("int").alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        (F.col("nsh_a") + F.col("nsh_b") - F.col("inter")).cast("double")
-    )
-    verified = (
-        shared.join(
-            sizes.select(
-                F.col("doc_id").alias("doc_a"), F.col("nsh").alias("nsh_a")
-            ),
-            "doc_a",
-        )
-        .join(
-            sizes.select(
-                F.col("doc_id").alias("doc_b"), F.col("nsh").alias("nsh_b")
-            ),
-            "doc_b",
-        )
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    verified = _count_jaccard_verify(cand, sdist, threshold)
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
@@ -1203,3 +1213,135 @@ def span_dedup_sql(rel: str, k: int = SPAN_WORDS) -> str:
            coalesce(r.clean_text, '') AS clean_text
     FROM b2 b LEFT JOIN reasm r USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Conversation-grain near-dup index over the live CDC state
+# (streaming-maintained — the dedup analog of semsearch's embedding index)
+# ---------------------------------------------------------------------------
+
+#: view schema for GroupedReplaceParquetSink(schema_ddl=...) — incl.
+#: the sink's stored bucket column, like semsearch.INDEX_VIEW_DDL
+MINHASH_INDEX_VIEW_DDL = (
+    "conv_id string, band int, band_key string, bucket int"
+)
+
+
+def conv_texts(state: DataFrame) -> DataFrame:
+    """Each conversation's live transcript as ONE document —
+    (doc_id = conv_id, text = turns joined in turn_idx order). The LWW
+    state is keyed (conv_id, turn_idx), so the sort key is unique and
+    the concatenation deterministic under any shuffle order."""
+    turn = F.struct(
+        F.col("turn_idx"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    return (
+        state.groupBy("conv_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(turn)), lambda s: s["text"]
+                ),
+                "\n",
+            ).alias("text")
+        )
+        .select(F.col("conv_id").alias("doc_id"), "text")
+    )
+
+
+def conv_texts_sql(state_rel: str) -> str:
+    """DuckDB twin of :func:`conv_texts` over a materialized-state
+    relation carrying (conv_id, turn_idx, text)."""
+    return f"""
+    SELECT conv_id AS doc_id,
+           string_agg(coalesce(text, ''), chr(10) ORDER BY turn_idx) AS text
+    FROM ({state_rel}) GROUP BY conv_id
+    """
+
+
+def minhash_index_rows(live: DataFrame, n: int = 3) -> DataFrame:
+    """The per-conversation recompute for the maintained index: live
+    state slice → conv documents → K minhashes → LSH band rows
+    (conv_id, band, band_key). BANDS rows of one 16-byte key per conv —
+    the index is ~100 bytes/conversation regardless of transcript size,
+    so at 10^12 turns it is orders of magnitude smaller than the corpus
+    and its bucket self-join is the only wide op near-dup serving needs.
+    """
+    sigs = _minhash_from_shingle_rows(shingle_rows(conv_texts(live), n))
+    return _band_rows(sigs).select(
+        F.col("doc_id").alias("conv_id"), "band", "band_key"
+    )
+
+
+def near_dup_pairs_from_index(
+    index: DataFrame, state: DataFrame, n: int = 3, threshold: float = 0.7
+) -> DataFrame:
+    """Serve near-duplicate conversation pairs from the maintained band
+    index: candidates come from the index's band-bucket self-join (NO
+    signature recompute — the stream already paid it), verification is
+    exact Jaccard over ONLY the candidate conversations' transcripts
+    (semi-join pruned before shingling). Output (conv_a, conv_b,
+    jaccard), identical to rebuilding the whole pipeline batch-side —
+    pinned in tests/test_dedup_index.py."""
+    a, b = index.alias("a"), index.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.conv_id") < F.col("b.conv_id")),
+        )
+        .select(
+            F.col("a.conv_id").alias("doc_a"),
+            F.col("b.conv_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    touched = (
+        cand.select(F.col("doc_a").alias("conv_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("conv_id")))
+        .distinct()
+    )
+    docs = conv_texts(state.join(touched, "conv_id", "left_semi"))
+    sdist = shingle_rows(docs, n).distinct()
+    return _count_jaccard_verify(cand, sdist, threshold).select(
+        F.col("doc_a").alias("conv_a"),
+        F.col("doc_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
+def minhash_index_stream(
+    spark,
+    spool_dir: str,
+    state_sink,
+    index_sink,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = 1,
+    n: int = 3,
+):
+    """Streaming-maintained near-dup index: per micro-batch, MERGE the
+    changelog into the state table and re-signature ONLY the touched
+    conversations into a grouped-replace band-index view — an edit
+    re-hashes just that conversation, a delete drops its bands, replays
+    epoch-skip on both sinks (the IVM machinery of streaming/ivm.py).
+    After any drained stream the index equals
+    ``minhash_index_rows(live_state)`` exactly, so
+    :func:`near_dup_pairs_from_index` serves the same pairs the batch
+    pipeline would compute — without re-shingling the corpus.
+
+    Construct the view sink as ``GroupedReplaceParquetSink(root,
+    schema_ddl=MINHASH_INDEX_VIEW_DDL)``.
+    """
+    from ..streaming.ivm import maintained_view_stream
+
+    return maintained_view_stream(
+        spark,
+        spool_dir,
+        state_sink,
+        index_sink,
+        checkpoint_dir,
+        recompute=lambda live: minhash_index_rows(live, n),
+        max_files_per_trigger=max_files_per_trigger,
+    )

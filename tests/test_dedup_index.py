@@ -1,0 +1,136 @@
+"""Streaming-maintained conversation-grain near-dup index
+(operators/dedup.py: conv_texts / minhash_index_rows /
+near_dup_pairs_from_index / minhash_index_stream) — the dedup analog of
+the maintained embedding index: the band index follows the CDC state
+under inserts, edits, and deletes, and serving pairs from it equals the
+batch pipeline. Oracle parity for the batch form runs in
+tests/test_unregistered_oracles.py (DuckDB brute-force conv-grain
+Jaccard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, dedup
+from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+    changelog_envelopes,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
+    GroupedReplaceParquetSink,
+)
+from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import MergeParquetSink
+from tests.conftest import SF_SMOKE
+
+_ENV_DDL = (
+    "op string, before struct<conv_id:string,turn_idx:int,role:string,"
+    "text:string,tool:string,ts:timestamp>, after struct<conv_id:string,"
+    "turn_idx:int,role:string,text:string,tool:string,ts:timestamp>, "
+    "seq long"
+)
+
+LONG_A = "the quick brown fox jumps over the lazy dog again and again today"
+LONG_B = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content about databases and streaming systems"
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(
+        [(op, None, (c, i, "user", t, None, None), s) for op, c, i, t, s in rows],
+        _ENV_DDL,
+    )
+
+
+def _pairs_set(df):
+    return {(r["conv_a"], r["conv_b"]) for r in df.collect()}
+
+
+def test_index_pairs_equal_batch_pipeline(spark):
+    """Serving from the index ≡ running the batch conv-grain pipeline
+    (same banding, same exact verify) on the real changelog corpus."""
+    state = cdc.apply_changelog(changelog_envelopes(spark, SF_SMOKE)).persist()
+    try:
+        index = dedup.minhash_index_rows(state)
+        got = dedup.near_dup_pairs_from_index(index, state)
+        want = dedup.minhash_lsh_pairs(
+            dedup.conv_texts(state), materialize=False
+        ).select(
+            F.col("doc_a").alias("conv_a"),
+            F.col("doc_b").alias("conv_b"),
+            "jaccard",
+        )
+        g = sorted(map(tuple, got.collect()))
+        w = sorted(map(tuple, want.collect()))
+        assert g == w
+    finally:
+        state.unpersist()
+
+
+def test_maintained_index_follows_cdc(spark, tmp_path):
+    """Insert two near-dup convs → pair appears; edit one apart → pair
+    disappears; delete → bands dropped. Stream ≡ batch after each
+    drain; replay is a no-op."""
+    spool = str(tmp_path / "spool")
+    st = MergeParquetSink(str(tmp_path / "state"), n_buckets=4)
+    ix = GroupedReplaceParquetSink(
+        str(tmp_path / "index"), n_buckets=4,
+        schema_ddl=dedup.MINHASH_INDEX_VIEW_DDL,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    # chunk 0: two near-identical convs + one distinct
+    _env(
+        spark,
+        [
+            ("c", "cA", 0, LONG_A, 100),
+            ("c", "cB", 0, LONG_B, 101),
+            ("c", "cC", 0, OTHER, 102),
+        ],
+    ).coalesce(1).write.parquet(spool)
+    dedup.minhash_index_stream(spark, spool, st, ix, ckpt)
+
+    def _check_stream_equals_batch():
+        got = ix.read_view(spark).drop("bucket") if hasattr(ix, "read_view") else None
+        live = st.snapshot(spark)
+        want = dedup.minhash_index_rows(live)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+        return got, live
+
+    got, live = _check_stream_equals_batch()
+    pairs = dedup.near_dup_pairs_from_index(got, live)
+    assert _pairs_set(pairs) == {("cA", "cB")}
+
+    # chunk 1: edit cB far away from cA → the pair must dissolve
+    _env(
+        spark, [("u", "cB", 0, OTHER + " and even more unrelated words", 200)]
+    ).coalesce(1).write.mode("append").parquet(spool)
+    dedup.minhash_index_stream(spark, spool, st, ix, ckpt)
+    got, live = _check_stream_equals_batch()
+    assert _pairs_set(dedup.near_dup_pairs_from_index(got, live)) == set()
+
+    # chunk 2: delete cA entirely → its bands leave the index
+    del_env = spark.createDataFrame(
+        [("d", ("cA", 0, "user", LONG_A, None, None), None, 300)],
+        _ENV_DDL,
+    )
+    del_env.coalesce(1).write.mode("append").parquet(spool)
+    dedup.minhash_index_stream(spark, spool, st, ix, ckpt)
+    got, live = _check_stream_equals_batch()
+    assert got.where("conv_id = 'cA'").count() == 0
+
+    # replay: drained spool, both sinks epoch-skip, index unchanged
+    n = got.count()
+    dedup.minhash_index_stream(spark, spool, st, ix, ckpt)
+    assert ix.read_view(spark).count() == n
+
+
+def test_index_size_is_corpus_independent(spark):
+    """BANDS rows per conversation, regardless of transcript length —
+    the property that makes the index serveable at 10^12 turns."""
+    rows = [("c", "cL", i, f"turn {i} " + LONG_A, 100 + i) for i in range(40)]
+    state = cdc.apply_changelog(_env(spark, rows))
+    index = dedup.minhash_index_rows(state)
+    assert index.count() == dedup.BANDS
+    assert index.select("conv_id").distinct().count() == 1

@@ -134,6 +134,11 @@ CASES = [
         lambda: eq.COHORT_EXIST_ORACLE,
     ),
     (
+        "near_dups_live_state",
+        eq.q_near_dups_live_state,
+        lambda: eq.near_dups_live_oracle(),
+    ),
+    (
         "search_live_state",
         eq.q_search_live_state,
         lambda: __import__(
