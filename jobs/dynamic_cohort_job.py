@@ -60,6 +60,21 @@ def main() -> None:
         default="2024-01-30 00:00:00",
         help="rule-evaluation 'today' (deterministic runs)",
     )
+    ap.add_argument(
+        "--snapshot-every",
+        type=int,
+        default=1,
+        help="evaluate memberships every Nth micro-batch (the drained "
+        "state always snapshots) — thin this out on long spools: each "
+        "evaluation re-reads the delta history",
+    )
+    ap.add_argument(
+        "--fold-cube",
+        action="store_true",
+        help="after the stream drains, fold the cube-delta history "
+        "into one base dir (cohort_stream.fold_cube_deltas) — keeps "
+        "current_cube reads O(cube) on a long-running workdir",
+    )
     args = ap.parse_args()
 
     if args.init_rules and not os.path.exists(args.rules):
@@ -90,8 +105,14 @@ def main() -> None:
         )
 
     out = cs.run_dynamic_cohorts(
-        spark, spool, args.rules, args.workdir, args.now
+        spark,
+        spool,
+        args.rules,
+        args.workdir,
+        args.now,
+        snapshot_every=args.snapshot_every,
     )
+    fold = cs.fold_cube_deltas(spark, args.workdir) if args.fold_cube else None
     members = cs.read_members(spark, args.workdir)
     per_rule = (
         {
@@ -108,8 +129,10 @@ def main() -> None:
         json.dumps(
             {
                 "epochs_this_run": out["epochs"],
+                "rule_load_errors": out["rule_load_errors"],
                 "members_per_rule": per_rule,
                 "transitions": transitions.count(),
+                "fold": fold,
                 "workdir": args.workdir,
                 "rules": args.rules,
             }
