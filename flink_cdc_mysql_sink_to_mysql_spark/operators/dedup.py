@@ -424,7 +424,6 @@ def minhash_lsh_pairs(
          filter ≥ threshold (no false positives; false-negative rate
          bounded by the banding curve — see BANDS above).
     """
-    rows = NUM_HASHES // BANDS
     level = _shingle_storage_level(docs) if materialize else None
     shr = shingle_rows(docs, n)
     if materialize:
@@ -1226,6 +1225,14 @@ MINHASH_INDEX_VIEW_DDL = (
     "conv_id string, band int, band_key string, bucket int"
 )
 
+#: the ONE shingle width for the conversation index: the index rows do
+#: not record the n they were built with, so build
+#: (minhash_index_rows / minhash_index_stream) and serve
+#: (near_dup_pairs_from_index) MUST use the same value — override the
+#: defaults together or the served pairs verify candidates from
+#: n-gram-A signatures with n-gram-B Jaccard (silently wrong set).
+INDEX_N = 3
+
 
 def conv_texts(state: DataFrame) -> DataFrame:
     """Each conversation's live transcript as ONE document —
@@ -1260,7 +1267,7 @@ def conv_texts_sql(state_rel: str) -> str:
     """
 
 
-def minhash_index_rows(live: DataFrame, n: int = 3) -> DataFrame:
+def minhash_index_rows(live: DataFrame, n: int = INDEX_N) -> DataFrame:
     """The per-conversation recompute for the maintained index: live
     state slice → conv documents → K minhashes → LSH band rows
     (conv_id, band, band_key). BANDS rows of one 16-byte key per conv —
@@ -1275,7 +1282,10 @@ def minhash_index_rows(live: DataFrame, n: int = 3) -> DataFrame:
 
 
 def near_dup_pairs_from_index(
-    index: DataFrame, state: DataFrame, n: int = 3, threshold: float = 0.7
+    index: DataFrame,
+    state: DataFrame,
+    n: int = INDEX_N,
+    threshold: float = 0.7,
 ) -> DataFrame:
     """Serve near-duplicate conversation pairs from the maintained band
     index: candidates come from the index's band-bucket self-join (NO
@@ -1283,7 +1293,19 @@ def near_dup_pairs_from_index(
     exact Jaccard over ONLY the candidate conversations' transcripts
     (semi-join pruned before shingling). Output (conv_a, conv_b,
     jaccard), identical to rebuilding the whole pipeline batch-side —
-    pinned in tests/test_dedup_index.py."""
+    pinned in tests/test_dedup_index.py.
+
+    ``n`` MUST equal the n the index was built with (see INDEX_N).
+
+    Plan note: ``index`` is localCheckpointed before the self-join —
+    when the index is computed in-session (the bench/oracle form)
+    Spark gives self-joins no subplan reuse, so without the barrier
+    the whole signature aggregation runs once per side and once more
+    per verify reference; the checkpointed relation is tiny (BANDS
+    rows of one 16-byte key per conv). The candidate-pruned distinct
+    shingle relation is checkpointed too (read 3x by the verify).
+    Serving from the maintained parquet view pays only a no-op copy."""
+    index = index.localCheckpoint(eager=True)
     a, b = index.alias("a"), index.alias("b")
     cand = (
         a.join(
@@ -1304,7 +1326,7 @@ def near_dup_pairs_from_index(
         .distinct()
     )
     docs = conv_texts(state.join(touched, "conv_id", "left_semi"))
-    sdist = shingle_rows(docs, n).distinct()
+    sdist = shingle_rows(docs, n).distinct().localCheckpoint(eager=True)
     return _count_jaccard_verify(cand, sdist, threshold).select(
         F.col("doc_a").alias("conv_a"),
         F.col("doc_b").alias("conv_b"),
@@ -1319,7 +1341,7 @@ def minhash_index_stream(
     index_sink,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = 1,
-    n: int = 3,
+    n: int = INDEX_N,
 ):
     """Streaming-maintained near-dup index: per micro-batch, MERGE the
     changelog into the state table and re-signature ONLY the touched

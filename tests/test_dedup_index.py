@@ -16,7 +16,6 @@ from flink_cdc_mysql_sink_to_mysql_spark.operators import cdc, dedup
 from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
     changelog_envelopes,
 )
-from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
 from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
     GroupedReplaceParquetSink,
 )
@@ -91,7 +90,7 @@ def test_maintained_index_follows_cdc(spark, tmp_path):
     dedup.minhash_index_stream(spark, spool, st, ix, ckpt)
 
     def _check_stream_equals_batch():
-        got = ix.read_view(spark).drop("bucket") if hasattr(ix, "read_view") else None
+        got = ix.read_view(spark)
         live = st.snapshot(spark)
         want = dedup.minhash_index_rows(live)
         assert got.exceptAll(want).count() == 0
