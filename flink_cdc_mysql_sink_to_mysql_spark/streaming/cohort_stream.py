@@ -373,3 +373,19 @@ def membership_transitions(spark: SparkSession, workdir: str) -> DataFrame:
         .where(F.col("change").isNotNull())
         .select("epoch", "rule_id", "conv_id", "change")
     )
+
+
+def prune_member_snapshots(workdir: str, keep_last: int = 8) -> dict:
+    """Bound the membership-snapshot history: keep the newest
+    ``keep_last`` epoch dirs, delete the rest. Transitions older than
+    the retained window are forgotten — run after
+    :func:`membership_transitions` has been consumed (alerting,
+    audit export) if the full history matters. The LATEST snapshot
+    (what :func:`read_members` serves) is always kept."""
+    import shutil
+
+    epochs = _member_epochs(workdir)
+    drop = epochs[:-keep_last] if keep_last > 0 else epochs[:-1]
+    for e in drop:
+        shutil.rmtree(os.path.join(members_dir(workdir), f"epoch={e}"))
+    return {"kept": len(epochs) - len(drop), "pruned": len(drop)}

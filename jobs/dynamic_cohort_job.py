@@ -75,6 +75,15 @@ def main() -> None:
         "into one base dir (cohort_stream.fold_cube_deltas) — keeps "
         "current_cube reads O(cube) on a long-running workdir",
     )
+    ap.add_argument(
+        "--prune-members",
+        type=int,
+        default=None,
+        metavar="KEEP",
+        help="after reporting, keep only the newest KEEP membership "
+        "snapshots (transition history beyond the window is forgotten "
+        "— export it first if it matters)",
+    )
     args = ap.parse_args()
 
     if args.init_rules and not os.path.exists(args.rules):
@@ -125,14 +134,21 @@ def main() -> None:
         else {}
     )
     transitions = cs.membership_transitions(spark, args.workdir)
+    n_transitions = transitions.count()
+    pruned = (
+        cs.prune_member_snapshots(args.workdir, keep_last=args.prune_members)
+        if args.prune_members is not None
+        else None
+    )
     print(
         json.dumps(
             {
                 "epochs_this_run": out["epochs"],
                 "rule_load_errors": out["rule_load_errors"],
                 "members_per_rule": per_rule,
-                "transitions": transitions.count(),
+                "transitions": n_transitions,
                 "fold": fold,
+                "pruned_snapshots": pruned,
                 "workdir": args.workdir,
                 "rules": args.rules,
             }

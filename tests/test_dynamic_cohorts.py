@@ -242,3 +242,20 @@ def test_snapshot_every_still_snapshots_final_state(spark, tmp_path):
         )
     )
     assert _ids(cs.read_members(spark, wd)) == want
+
+
+def test_prune_member_snapshots(spark, tmp_path):
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(3).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+    cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert len(cs._member_epochs(wd)) == 3
+    latest = _ids(cs.read_members(spark, wd))
+    out = cs.prune_member_snapshots(wd, keep_last=1)
+    assert out == {"kept": 1, "pruned": 2}
+    assert _ids(cs.read_members(spark, wd)) == latest  # latest survives
+    # transitions still work over the reduced window
+    assert cs.membership_transitions(spark, wd).count() >= 0
