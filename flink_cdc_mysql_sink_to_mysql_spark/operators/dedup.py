@@ -1286,14 +1286,34 @@ def near_dup_pairs_from_index(
     state: DataFrame,
     n: int = INDEX_N,
     threshold: float = 0.7,
+    verify: str = "exact",
 ) -> DataFrame:
     """Serve near-duplicate conversation pairs from the maintained band
     index: candidates come from the index's band-bucket self-join (NO
-    signature recompute — the stream already paid it), verification is
-    exact Jaccard over ONLY the candidate conversations' transcripts
-    (semi-join pruned before shingling). Output (conv_a, conv_b,
-    jaccard), identical to rebuilding the whole pipeline batch-side —
-    pinned in tests/test_dedup_index.py.
+    signature recompute — the stream already paid it), then verified.
+    Output (conv_a, conv_b, jaccard).
+
+    ``verify="exact"`` (default): exact Jaccard over ONLY the candidate
+    conversations' transcripts (semi-join pruned before shingling) —
+    identical to rebuilding the whole pipeline batch-side (pinned in
+    tests/test_dedup_index.py) and the right mode when candidates are
+    few. Its cost is O(Σ_pairs |A∩B|): on a corpus with large
+    NEAR-threshold duplicate families — the banding worst case, e.g.
+    the sf10 bench corpus whose ~100-replica families sit just under
+    0.7 and band-collide ~9.7M candidate pairs that ALL verify to
+    nothing — the shared-shingle join explodes quadratically in family
+    size (measured 400 s at sf10).
+
+    ``verify="estimate"``: the standard MinHash-LSH scale answer
+    (what Spark ML's MinHashLSH serves): jaccard ≈ fraction of equal
+    minhashes over the K=NUM_HASHES signature, recomputed for the
+    candidate conversations ONLY — O(corpus) to re-signature + O(1)
+    per pair, no shingle join ever touches a pair. Estimate noise is
+    binomial: σ = sqrt(j(1-j)/K) ≈ 0.08 at K=32 near j=0.7, so pairs
+    within ~1σ of the threshold can flip vs exact — measured at sf10:
+    108 s instead of 405 s, and the 9.7M just-below-threshold
+    candidates yield 8.3k estimate-flips (pairs exact rejects) —
+    the documented precision trade for O(candidates) cost.
 
     ``n`` MUST equal the n the index was built with (see INDEX_N).
 
@@ -1303,8 +1323,11 @@ def near_dup_pairs_from_index(
     the whole signature aggregation runs once per side and once more
     per verify reference; the checkpointed relation is tiny (BANDS
     rows of one 16-byte key per conv). The candidate-pruned distinct
-    shingle relation is checkpointed too (read 3x by the verify).
-    Serving from the maintained parquet view pays only a no-op copy."""
+    shingle relation is checkpointed too (read 3x by the exact
+    verify). Serving from the maintained parquet view pays only a
+    no-op copy."""
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     index = index.localCheckpoint(eager=True)
     a, b = index.alias("a"), index.alias("b")
     cand = (
@@ -1326,6 +1349,32 @@ def near_dup_pairs_from_index(
         .distinct()
     )
     docs = conv_texts(state.join(touched, "conv_id", "left_semi"))
+    if verify == "estimate":
+        sigs = _minhash_from_shingle_rows(
+            shingle_rows(docs, n)
+        ).localCheckpoint(eager=True)
+        eq_terms = [
+            F.when(
+                F.col(f"a.mh{k}") == F.col(f"b.mh{k}"), F.lit(1)
+            ).otherwise(F.lit(0))
+            for k in range(NUM_HASHES)
+        ]
+        est = (
+            sum(eq_terms[1:], eq_terms[0]).cast("double")
+            / F.lit(float(NUM_HASHES))
+        )
+        return (
+            cand.join(
+                sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id")
+            )
+            .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id"))
+            .select(
+                F.col("doc_a").alias("conv_a"),
+                F.col("doc_b").alias("conv_b"),
+                est.alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
     sdist = shingle_rows(docs, n).distinct().localCheckpoint(eager=True)
     return _count_jaccard_verify(cand, sdist, threshold).select(
         F.col("doc_a").alias("conv_a"),

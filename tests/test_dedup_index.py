@@ -133,3 +133,27 @@ def test_index_size_is_corpus_independent(spark):
     index = dedup.minhash_index_rows(state)
     assert index.count() == dedup.BANDS
     assert index.select("conv_id").distinct().count() == 1
+
+
+def test_estimate_verify_agrees_on_planted_pairs(spark):
+    """The estimate mode (signature-fraction Jaccard — the O(candidates)
+    scale path) finds the same PLANTED high-similarity pair as exact
+    verify and nothing else on well-separated data; its jaccard column
+    is the K-hash estimate, within binomial noise of the exact value."""
+    rows = [
+        ("c", "cA", 0, LONG_A, 100),
+        ("c", "cB", 0, LONG_B, 101),
+        ("c", "cC", 0, OTHER, 102),
+    ]
+    state = cdc.apply_changelog(_env(spark, rows))
+    index = dedup.minhash_index_rows(state)
+    exact = dedup.near_dup_pairs_from_index(index, state).collect()
+    est = dedup.near_dup_pairs_from_index(
+        index, state, verify="estimate"
+    ).collect()
+    assert {(r["conv_a"], r["conv_b"]) for r in exact} == {("cA", "cB")}
+    assert {(r["conv_a"], r["conv_b"]) for r in est} == {("cA", "cB")}
+    # K=32 estimate within ~3 sigma of the exact jaccard
+    j_exact = exact[0]["jaccard"]
+    sigma = (j_exact * (1 - j_exact) / dedup.NUM_HASHES) ** 0.5
+    assert abs(est[0]["jaccard"] - j_exact) <= 3 * sigma + 1e-9
