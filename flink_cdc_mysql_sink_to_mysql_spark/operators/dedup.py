@@ -1238,7 +1238,14 @@ def conv_texts(state: DataFrame) -> DataFrame:
     """Each conversation's live transcript as ONE document —
     (doc_id = conv_id, text = turns joined in turn_idx order). The LWW
     state is keyed (conv_id, turn_idx), so the sort key is unique and
-    the concatenation deterministic under any shuffle order."""
+    the concatenation deterministic under any shuffle order.
+
+    Skew note (plans/skew.py watch list): the collect_list buffers one
+    conversation per agg group, so a pathologically hot conversation
+    (10^6+ turns) concentrates in one task — the same inherent
+    keyed-state bound as session windows; mitigate upstream with a
+    turn-count cap on what the index considers, not by salting (a
+    split conversation would fingerprint differently)."""
     turn = F.struct(
         F.col("turn_idx"),
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
