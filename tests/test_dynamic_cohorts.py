@@ -259,3 +259,31 @@ def test_prune_member_snapshots(spark, tmp_path):
     assert _ids(cs.read_members(spark, wd)) == latest  # latest survives
     # transitions still work over the reduced window
     assert cs.membership_transitions(spark, wd).count() >= 0
+
+
+def test_fold_then_resume_keeps_cube_correct(spark, tmp_path):
+    """fold_cube_deltas between stream invocations must not perturb a
+    later resume: new epochs land beside the folded base dir and the
+    served cube still equals the batch cube of the FULL feed."""
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(400).persist()
+    first, rest = env.limit(250), env.subtract(env.limit(250))
+    spool = tmp_path / "spool"
+    first.repartition(2).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+
+    cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert cs.fold_cube_deltas(spark, wd)["folded"]
+
+    rest.coalesce(1).write.mode("append").parquet(str(spool))
+    out = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out["epochs"]  # resumed past the fold
+
+    got = cs.current_cube(spark, cs.cube_delta_dir(wd)).select(
+        "conv_id", "event_kind", "day", "sum_metric", "cnt", "max_metric"
+    )
+    want = cohort.events_cube(cdc.derive_turn_events(env))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    env.unpersist()
