@@ -347,6 +347,7 @@ def json_envelope_stream(
     spark: SparkSession,
     spool_dir: str,
     max_files_per_trigger: int | None = 1,
+    extra_image_fields: dict[str, str] | None = None,
 ) -> DataFrame:
     """Wire-format streaming source: JSON-line files → parsed envelopes
     with ``_quarantine_reason`` (sources/json_envelopes.py front door).
@@ -354,13 +355,16 @@ def json_envelope_stream(
     This is the production shape — a Kafka topic of Debezium JSON is
     ``readStream.format("kafka")`` + the same ``parse_envelope_lines``
     over ``CAST(value AS STRING)``; the text spool keeps the identical
-    plan in-sandbox."""
+    plan in-sandbox. ``extra_image_fields`` widens the parse for an
+    evolved wire (schema evolution — see sources/json_envelopes.py)."""
     from ..sources.json_envelopes import parse_envelope_lines
 
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    return parse_envelope_lines(reader.text(spool_dir))
+    return parse_envelope_lines(
+        reader.text(spool_dir), extra_image_fields=extra_image_fields
+    )
 
 
 def materialize_stream_from_json(
@@ -371,6 +375,7 @@ def materialize_stream_from_json(
     dlq_dir: str,
     max_files_per_trigger: int | None = 1,
     lineage_path: str | None = None,
+    extra_image_fields: dict[str, str] | None = None,
 ):
     """materialize_stream, but fed from the wire format with a DLQ.
 
@@ -383,7 +388,9 @@ def materialize_stream_from_json(
     feed was quarantined — the reference swallows these without a trace
     (UserBehaviorDebeziumDeserializer.java:72-74).
     """
-    parsed = json_envelope_stream(spark, spool_dir, max_files_per_trigger)
+    parsed = json_envelope_stream(
+        spark, spool_dir, max_files_per_trigger, extra_image_fields
+    )
     parsed = parsed.observe(
         "engine",
         F.count(F.lit(1)).alias("rows"),

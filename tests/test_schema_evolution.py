@@ -280,3 +280,56 @@ def test_evolved_fields_and_type_normalization(spark, tmp_path):
         root=str(tmp_path / "new"), n_buckets=4, extra_fields={"score": "DOUBLE"}
     )
     assert fresh.evolved_fields() == {"score": "double"}
+
+
+def test_json_front_door_streams_evolved_column(spark, tmp_path):
+    """The WIRE path end-to-end under evolution: JSON lines carrying the
+    new field stream through the front door into an evolved sink; a
+    pre-evolution line NULL-fills; bad lines still quarantine."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+        materialize_stream_from_json,
+        read_dlq,
+    )
+
+    lines = [
+        json.dumps(
+            {
+                "op": "c",
+                "after": {"conv_id": "j1", "turn_idx": 0, "role": "user", "text": "old wire"},
+                "seq": 1,
+            }
+        ),
+        json.dumps(
+            {
+                "op": "c",
+                "after": {
+                    "conv_id": "j1",
+                    "turn_idx": 1,
+                    "role": "assistant",
+                    "text": "new wire",
+                    "rating": 7,
+                },
+                "seq": 2,
+            }
+        ),
+        "not json",
+    ]
+    spool = tmp_path / "spool"
+    spool.mkdir()
+    (spool / "chunk-000.json").write_text("\n".join(lines) + "\n")
+    sink = MergeParquetSink(
+        root=str(tmp_path / "table"), n_buckets=4, extra_fields=dict(EXTRA)
+    )
+    materialize_stream_from_json(
+        spark,
+        str(spool),
+        sink,
+        str(tmp_path / "ck"),
+        dlq_dir=str(tmp_path / "dlq"),
+        extra_image_fields=EXTRA,
+    )
+    got = {
+        r["turn_idx"]: r["rating"] for r in sink.snapshot(spark).collect()
+    }
+    assert got == {0: None, 1: 7}
+    assert read_dlq(spark, str(tmp_path / "dlq")).count() == 1
