@@ -470,7 +470,14 @@ def replay_dlq(spark: SparkSession, dlq_dir: str, sink, parse_fn=None) -> dict:
     from ..sources.json_envelopes import parse_envelope_lines, split_quarantine
 
     if parse_fn is None:
-        parse_fn = parse_envelope_lines
+        # follow the TABLE's evolved schema (sink.evolved_fields): a
+        # drain into an evolved sink must not re-parse with the base
+        # schema and merge NULLs where the quarantined line carried the
+        # evolved column
+        extras = getattr(sink, "evolved_fields", lambda: None)()
+
+        def parse_fn(raw_df):
+            return parse_envelope_lines(raw_df, extra_image_fields=extras)
 
     out = {"epochs": [], "recovered": 0, "still_bad": 0}
     if not os.path.isdir(dlq_dir):

@@ -333,3 +333,54 @@ def test_json_front_door_streams_evolved_column(spark, tmp_path):
     }
     assert got == {0: None, 1: 7}
     assert read_dlq(spark, str(tmp_path / "dlq")).count() == 1
+
+
+def test_replay_dlq_follows_evolved_sink_schema(spark, tmp_path):
+    """Default DLQ drain parses with the TABLE's evolved schema: a
+    quarantined line carrying the evolved column recovers WITH its
+    value, not a NULL from a base-schema re-parse."""
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.pipeline import (
+        replay_dlq,
+    )
+
+    sink = MergeParquetSink(
+        root=str(tmp_path / "table"), n_buckets=4, extra_fields=dict(EXTRA)
+    )
+    # quarantined for a bad op; the payload itself carries rating=9
+    line = json.dumps(
+        {
+            "op": "upsert",
+            "after": {
+                "conv_id": "q1",
+                "turn_idx": 0,
+                "role": "assistant",
+                "text": "rated",
+                "rating": 9,
+            },
+            "seq": 5,
+        }
+    )
+    dlq = tmp_path / "dlq"
+    spark.createDataFrame(
+        [(line, "bad_op")], "_raw string, reason string"
+    ).write.parquet(str(dlq / "epoch=0"))
+
+    def fixed(raw_df):
+        from flink_cdc_mysql_sink_to_mysql_spark.sources.json_envelopes import (
+            parse_envelope_lines,
+        )
+
+        patched = raw_df.select(
+            F.regexp_replace("value", '"op": *"upsert"', '"op": "c"').alias(
+                "value"
+            )
+        )
+        # the fixed parser must ALSO widen — callers mirror the default
+        return parse_envelope_lines(
+            patched, extra_image_fields=sink.evolved_fields()
+        )
+
+    out = replay_dlq(spark, str(dlq), sink, parse_fn=fixed)
+    assert out["recovered"] == 1
+    got = sink.snapshot(spark).collect()
+    assert [(r["conv_id"], r["rating"]) for r in got] == [("q1", 9)]
