@@ -148,3 +148,100 @@ def test_merge_sink_matches_model_under_microbatching(
         sink.snapshot(spark).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     )
     assert got == _model(envs)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(envs=changelogs(), data=st.data())
+def test_merge_sink_evolves_mid_stream(
+    spark, tmp_path_factory, envs, data
+):
+    """Schema evolution at a RANDOM micro-batch boundary: batches before
+    the evolution point merge through a base-schema sink, batches after
+    through a reopened sink with an extra image column (rating, a
+    deterministic function of the envelope). The final table must
+    still equal the LWW model on the base columns, and the evolved
+    column must equal the winner's rating when every merge of a
+    max-ord envelope happened post-evolution, NULL when every one
+    happened pre-evolution (ties straddling the boundary are
+    legitimately either — same contract as the generator's payload
+    determinism, which rating presence breaks across the boundary)."""
+
+    def rating_of(op, image, seq):
+        return (hash((image[0], image[1], op, seq)) % 97) + 1
+
+    def widen(e):
+        op, before, after, src, seq = e
+        r = rating_of(op, after or before, seq)
+        wb = (*before, r) if before is not None else None
+        wa = (*after, r) if after is not None else None
+        return (op, wb, wa, src, seq)
+
+    wide_ddl = ENVELOPE_DDL.replace(
+        "tool:string,ts:timestamp>", "tool:string,ts:timestamp,rating:int>"
+    )
+    n_cuts = data.draw(st.integers(min_value=1, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(0, len(envs)), min_size=n_cuts, max_size=n_cuts)
+        )
+    )
+    bounds = [0] + cuts + [len(envs)]
+    n_epochs = len(bounds) - 1
+    evo_epoch = data.draw(st.integers(0, n_epochs - 1))
+
+    root = str(tmp_path_factory.mktemp("evo-sink"))
+    base = MergeParquetSink(root, n_buckets=4)
+    evolved = MergeParquetSink(root, n_buckets=4, extra_fields={"rating": "int"})
+    # track, per key, the epochs at which a max-ord envelope was merged
+    for epoch, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        sink = evolved if epoch >= evo_epoch else base
+        rows = [widen(e) for e in envs[lo:hi]] if epoch >= evo_epoch else envs[lo:hi]
+        ddl = wide_ddl if epoch >= evo_epoch else ENVELOPE_DDL
+        sink.merge_changelog(spark.createDataFrame(rows or [], ddl), epoch)
+
+    snap = evolved.snapshot(spark)
+    got_base = _materialized(
+        snap.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+    want = _model(envs)
+    assert got_base == want
+
+    # rating law per surviving key
+    best_ord = {}
+    merged_epochs: dict = {}
+    for i, (op, before, after, _, seq) in enumerate(envs):
+        image = after if after is not None else before
+        key = (image[0], image[1])
+        ordv = seq * 4 + OP_RANK[op]
+        if key not in best_ord or ordv > best_ord[key]:
+            best_ord[key] = ordv
+    for pos, (op, before, after, _, seq) in enumerate(envs):
+        image = after if after is not None else before
+        key = (image[0], image[1])
+        ordv = seq * 4 + OP_RANK[op]
+        if ordv == best_ord[key]:
+            epoch = sum(1 for b in bounds[1:-1] if b <= pos)
+            merged_epochs.setdefault(key, set()).add(epoch)
+    got_rating = {
+        (r["conv_id"], r["turn_idx"]): r["rating"] for r in snap.collect()
+    }
+    for key, (role, text, tool, ts) in want.items():
+        eps = merged_epochs[key]
+        expected = None
+        # find the model winner's rating (any max-ord envelope works —
+        # payload-deterministic)
+        for op, before, after, _, seq in envs:
+            image = after if after is not None else before
+            if (image[0], image[1]) == key and seq * 4 + OP_RANK[op] == best_ord[key]:
+                expected = rating_of(op, image, seq)
+                break
+        if all(e >= evo_epoch for e in eps):
+            assert got_rating[key] == expected, key
+        elif all(e < evo_epoch for e in eps):
+            assert got_rating[key] is None, key
+        else:
+            assert got_rating[key] in (expected, None), key
