@@ -204,20 +204,50 @@ def run_dynamic_cohorts(
     ckpt = os.path.join(workdir, "ck_dyn")
     delta_dir = cube_delta_dir(workdir)
     mdir = members_dir(workdir)
+    lastgood = os.path.join(workdir, "rules_lastgood.json")
     seen: list[int] = []
     state = {"rules": {}, "loaded_once": False, "errors": 0, "batches": 0}
+
+    def _persist_lastgood() -> None:
+        # atomic copy of the raw rule file so a FUTURE run that opens on
+        # a torn file can still serve this set ("last good" must survive
+        # the process, not just the in-memory dict — review finding)
+        import shutil as _sh
+
+        tmp = lastgood + ".tmp"
+        try:
+            _sh.copyfile(rules_path, tmp)
+            os.replace(tmp, lastgood)
+        except OSError:
+            pass  # best-effort: the in-run fallback still works
 
     def _rules() -> dict:
         try:
             state["rules"] = load_rules(rules_path)
             state["loaded_once"] = True
+            _persist_lastgood()
         except (OSError, ValueError):
             # torn write or bad edit: keep serving the last good set
             state["errors"] += 1
+            if not state["loaded_once"] and os.path.exists(lastgood):
+                # fresh run whose FIRST load is torn: fall back to the
+                # persisted last-good set instead of evaluating an empty
+                # rule set (which would snapshot zero members and read
+                # as a fabricated mass EXIT in membership_transitions)
+                try:
+                    state["rules"] = load_rules(lastgood)
+                    state["loaded_once"] = True
+                except (OSError, ValueError):
+                    pass
         return state["rules"]
 
     def _snapshot(eid: int) -> None:
         rules = _rules()
+        if not state["loaded_once"] and _member_epochs(workdir):
+            # no rule set EVER loaded (current file torn, no/bad
+            # last-good) but prior snapshots exist: keep the previous
+            # epoch's snapshot rather than overwrite with zero members
+            return
         cur = current_cube(spark, delta_dir)
         members = cur.select("conv_id").distinct()
         out = cohort.evaluate_rules_cube(cur, members, rules, now)
@@ -251,6 +281,21 @@ def run_dynamic_cohorts(
         os.path.join(mdir, f"epoch={seen[-1]}")
     ):
         _snapshot(seen[-1])
+    elif not seen:
+        # a prior run crashed between awaitTermination and its final
+        # _snapshot: this (no-new-data) re-run sees epochs=[] but the
+        # members may lag the cube deltas — catch them up here
+        if os.path.isdir(delta_dir):
+            delta_epochs = [
+                int(n.split("=", 1)[1])
+                for n in os.listdir(delta_dir)
+                if n.startswith("epoch=")
+            ]
+            m_epochs = _member_epochs(workdir)
+            if delta_epochs and (
+                not m_epochs or m_epochs[-1] < max(delta_epochs)
+            ):
+                _snapshot(max(delta_epochs))
     last = read_members(spark, workdir)
     return {
         "epochs": seen,

@@ -287,3 +287,91 @@ def test_fold_then_resume_keeps_cube_correct(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     env.unpersist()
+
+
+def test_torn_first_load_falls_back_to_persisted_lastgood(spark, tmp_path):
+    """A NEW spark-submit run that opens on a torn rules file must serve
+    the set persisted by the last successful load (workdir
+    rules_lastgood.json) — not evaluate an empty rule set and snapshot
+    zero members, which membership_transitions would read as a
+    fabricated mass EXIT (review finding)."""
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(2).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+
+    out = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out["rule_load_errors"] == 0
+    good = _ids(cs.read_members(spark, wd))
+    assert good  # the loose rule matches conversations
+
+    # simulate: process restart (fresh state dict) + torn file + new data
+    env2 = mysql_changelog(spark, SF_SMOKE).orderBy(
+        "seq", ascending=False
+    ).limit(50)
+    env2.coalesce(1).write.mode("append").parquet(str(spool))
+    rules_path.write_text('[{"id": 0, "target": 4,')  # torn write
+    out2 = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out2["rule_load_errors"] >= 1
+    # last-good set served: membership is a superset of the prior run's
+    # (new turns only ADD under this loose exist-rule), never empty
+    now_ids = _ids(cs.read_members(spark, wd))
+    assert now_ids >= good
+    # and no fabricated mass EXIT in the transition history
+    trans = cs.membership_transitions(spark, wd)
+    assert trans.where(F.col("change") == "exit").count() == 0
+
+
+def test_torn_first_load_no_lastgood_keeps_prior_snapshot(spark, tmp_path):
+    """No last-good file available either (deleted) → the run must keep
+    the previous epoch's snapshot rather than overwrite with zero
+    members."""
+    import os
+
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(2).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+    cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    good = _ids(cs.read_members(spark, wd))
+    assert good
+
+    os.remove(os.path.join(wd, "rules_lastgood.json"))
+    env2 = mysql_changelog(spark, SF_SMOKE).orderBy(
+        "seq", ascending=False
+    ).limit(50)
+    env2.coalesce(1).write.mode("append").parquet(str(spool))
+    rules_path.write_text("{not json")
+    out = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out["rule_load_errors"] >= 1
+    # prior snapshot retained — latest members are the ones from the
+    # good run, not an empty overwrite
+    assert _ids(cs.read_members(spark, wd)) == good
+
+
+def test_drained_rerun_catches_up_lagging_members(spark, tmp_path):
+    """Crash between awaitTermination and the final _snapshot with
+    snapshot_every>1: a later re-run over the drained spool (epochs=[])
+    must still snapshot so read_members catches up to the cube."""
+    import shutil
+
+    env = mysql_changelog(spark, SF_SMOKE).orderBy("seq").limit(300)
+    spool = tmp_path / "spool"
+    env.repartition(3).write.mode("overwrite").parquet(str(spool))
+    rules_path = tmp_path / "rules.json"
+    _write_rules(rules_path, [cohort.CohortRule(4, True, 3650)])
+    wd = str(tmp_path / "wd")
+    cs.run_dynamic_cohorts(
+        spark, str(spool), str(rules_path), wd, NOW, snapshot_every=10
+    )
+    want = _ids(cs.read_members(spark, wd))
+    # simulate the crash: the final snapshot never landed
+    shutil.rmtree(cs.members_dir(wd))
+    out = cs.run_dynamic_cohorts(spark, str(spool), str(rules_path), wd, NOW)
+    assert out["epochs"] == []  # spool fully drained — no new batches
+    assert out["last_members"] > 0
+    assert _ids(cs.read_members(spark, wd)) == want
