@@ -81,6 +81,62 @@ LINEAGE = "_lineage.jsonl"
 _VERDIR_RE = re.compile(r"^v\d+-")
 
 
+# Spark DDL synonym → simpleString() spelling, for canonicalizing type
+# specs when no SparkSession is up yet (argparse time). With a session,
+# _norm_ddl_type uses Spark's own parser, whose simpleString() agrees
+# with this table by construction.
+_DDL_ATOMIC_CANON = {
+    "byte": "tinyint", "tinyint": "tinyint",
+    "short": "smallint", "smallint": "smallint",
+    "int": "int", "integer": "int",
+    "long": "bigint", "bigint": "bigint",
+    "float": "float", "real": "float",
+    "double": "double",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "binary",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "decimal": "decimal(10,0)", "dec": "decimal(10,0)",
+    "numeric": "decimal(10,0)",
+}
+# parametric / nested spellings we can't canonicalize without Spark's
+# parser — passed through lowered; the session-time path settles them
+_DDL_COMPLEX_RE = re.compile(
+    r"^(decimal|dec|numeric)\s*\(|^(array|map|struct)\s*<|^(char|varchar)\s*\("
+)
+
+
+def _norm_ddl_type(name: str, typ: str) -> str:
+    """Canonicalize an evolved-column DDL type ('long' / 'BIGINT' /
+    'bigint' → 'bigint') so equivalent spellings never read as an
+    immutable type CHANGE, and a typo fails eagerly at open time
+    instead of as a parse error deep inside a MERGE (review finding).
+    Uses Spark's parser when a session is active; a pure-Python synonym
+    table otherwise (argparse time, pre-session)."""
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.types import _parse_datatype_string
+
+    try:
+        return _parse_datatype_string(typ).simpleString()
+    except PySparkRuntimeError:
+        # no active session (e.g. CLI validation before spark-submit's
+        # session exists): canonicalize atomics, pass nested through
+        low = typ.strip().lower()
+        if low in _DDL_ATOMIC_CANON:
+            return _DDL_ATOMIC_CANON[low]
+        if _DDL_COMPLEX_RE.match(low):
+            return low
+        raise ValueError(
+            f"extra field {name!r}: {typ!r} is not a valid Spark DDL type"
+        ) from None
+    except Exception as exc:  # ParseException subclasses vary by version
+        raise ValueError(
+            f"extra field {name!r}: {typ!r} is not a valid Spark DDL type"
+        ) from exc
+
+
 def ord_expr():
     """Cross-batch LWW total order — THE single-sourced expression from
     operators/cdc.py (seq wins, then d > u > c > r at a seq tie); both
@@ -181,7 +237,7 @@ class MergeParquetSink:
         # 'int' != 'INT' and refuses as a type change (review finding)
         if self.extra_fields:
             self.extra_fields = {
-                name: typ.strip().lower()
+                name: _norm_ddl_type(name, typ)
                 for name, typ in self.extra_fields.items()
             }
 
@@ -218,7 +274,12 @@ class MergeParquetSink:
         stored = dict(manifest.get("extra_fields") or [])
         mine = dict(self.extra_fields or {})
         for name, typ in stored.items():
-            if name in mine and mine[name].strip().lower() != typ:
+            # compare PARSED types, not spellings: 'long' ≡ 'bigint',
+            # 'int' ≡ 'integer' — equivalent spellings must not be
+            # refused as an immutable type change (review finding)
+            if name in mine and _norm_ddl_type(name, mine[name]) != (
+                _norm_ddl_type(name, typ)
+            ):
                 raise ValueError(
                     f"extra field {name!r}: table has type {typ!r} but the "
                     f"sink was opened with {mine[name]!r}; evolved column "
@@ -226,9 +287,9 @@ class MergeParquetSink:
                 )
         # stored first (their physical order is already on disk), then
         # any new constructor columns in declaration order
-        merged = dict(stored)
+        merged = {n: _norm_ddl_type(n, t) for n, t in stored.items()}
         for name, typ in mine.items():
-            merged.setdefault(name, typ.strip().lower())
+            merged.setdefault(name, _norm_ddl_type(name, typ))
         self.extra_fields = merged or None
 
     def _commit_manifest(self, manifest: dict) -> None:

@@ -44,6 +44,33 @@ from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (  # noqa: E402
 )
 
 
+def _extra_field_spec(spec: str) -> tuple[str, str]:
+    """argparse type= for --extra-field NAME:TYPE — validate the shape
+    AND the DDL type eagerly, so a missing ':' or a typo'd type is a
+    one-line usage error naming the bad spec, not a 'dictionary update
+    sequence' ValueError or a Spark parse error deep in the MERGE
+    (review finding)."""
+    if ":" not in spec:
+        raise argparse.ArgumentTypeError(
+            f"--extra-field {spec!r}: expected NAME:TYPE (e.g. rating:int)"
+        )
+    name, typ = spec.split(":", 1)
+    name, typ = name.strip(), typ.strip()
+    if not name:
+        raise argparse.ArgumentTypeError(
+            f"--extra-field {spec!r}: empty column name"
+        )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        _norm_ddl_type,
+    )
+
+    try:
+        typ = _norm_ddl_type(name, typ)
+    except ValueError as exc:
+        raise argparse.ArgumentTypeError(str(exc)) from None
+    return name, typ
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -121,6 +148,7 @@ def main() -> None:
         "--extra-field",
         action="append",
         default=None,
+        type=_extra_field_spec,
         metavar="NAME:TYPE",
         help="evolve the sink schema with an added image column (e.g. "
         "rating:int) — repeatable; the table owns the evolved set "
@@ -133,11 +161,7 @@ def main() -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
 
-    extra_fields = None
-    if args.extra_field:
-        extra_fields = dict(
-            spec.split(":", 1) for spec in args.extra_field
-        )
+    extra_fields = dict(args.extra_field) if args.extra_field else None
 
     spool = os.path.join(args.workdir, "spool")
     ckpt = os.path.join(args.workdir, "checkpoint")

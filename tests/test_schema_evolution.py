@@ -384,3 +384,61 @@ def test_replay_dlq_follows_evolved_sink_schema(spark, tmp_path):
     assert out["recovered"] == 1
     got = sink.snapshot(spark).collect()
     assert [(r["conv_id"], r["rating"]) for r in got] == [("q1", 9)]
+
+
+def test_equivalent_type_spellings_not_refused(spark, tmp_path):
+    """'long' vs 'bigint' / 'integer' vs 'int' are the SAME Spark type;
+    a reopen with the synonym spelling must not be refused as an
+    immutable type change (review finding) — types compare parsed, not
+    as lowercased strings."""
+    root = str(tmp_path / "table")
+    sink = MergeParquetSink(
+        root=root, n_buckets=4, extra_fields={"score": "long", "rating": "integer"}
+    )
+    sink.merge_changelog(
+        _env_df(spark, [("c", None, _img("a", 0, "user", "x", 3), 100)]), 1
+    )
+    again = MergeParquetSink(
+        root=root, n_buckets=4, extra_fields={"score": "BIGINT", "rating": "int"}
+    )
+    assert again.read(spark).count() == 1  # no refusal
+    assert again.evolved_fields() == {"score": "bigint", "rating": "int"}
+    # a REAL type change still refuses
+    bad = MergeParquetSink(root=root, n_buckets=4, extra_fields={"score": "string"})
+    with pytest.raises(ValueError, match="immutable"):
+        bad.read(spark)
+
+
+def test_bad_ddl_type_fails_eagerly(spark, tmp_path):
+    """A typo'd type spec raises a clear ValueError at sink OPEN time
+    (constructor normalization), not a Spark parse error mid-MERGE."""
+    with pytest.raises(ValueError, match="not a valid Spark DDL type"):
+        MergeParquetSink(
+            root=str(tmp_path / "t"), n_buckets=4, extra_fields={"x": "blabla"}
+        )
+
+
+def test_extra_field_cli_spec_validation():
+    """jobs/changelog_apply_job._extra_field_spec: missing ':' or a bad
+    type is a one-line argparse usage error naming the spec (review
+    finding), and valid specs canonicalize session-free."""
+    import argparse as _ap
+    import importlib.util as _ilu
+    import os as _os
+
+    spec = _ilu.spec_from_file_location(
+        "changelog_apply_job",
+        _os.path.join(_os.path.dirname(__file__), "..", "jobs", "changelog_apply_job.py"),
+    )
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert mod._extra_field_spec("rating:int") == ("rating", "int")
+    assert mod._extra_field_spec("score:LONG") == ("score", "bigint")
+    assert mod._extra_field_spec("tags:array<string>") == ("tags", "array<string>")
+    with pytest.raises(_ap.ArgumentTypeError, match="expected NAME:TYPE"):
+        mod._extra_field_spec("rating")
+    with pytest.raises(_ap.ArgumentTypeError, match="empty column name"):
+        mod._extra_field_spec(":int")
+    with pytest.raises(_ap.ArgumentTypeError, match="not a valid Spark DDL"):
+        mod._extra_field_spec("rating:blabla")
