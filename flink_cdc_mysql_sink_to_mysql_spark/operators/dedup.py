@@ -1222,16 +1222,27 @@ def span_dedup_sql(rel: str, k: int = SPAN_WORDS) -> str:
 #: view schema for GroupedReplaceParquetSink(schema_ddl=...) — incl.
 #: the sink's stored bucket column, like semsearch.INDEX_VIEW_DDL
 MINHASH_INDEX_VIEW_DDL = (
-    "conv_id string, band int, band_key string, bucket int"
+    "conv_id string, band int, band_key string, shingle_n int, bucket int"
 )
 
-#: the ONE shingle width for the conversation index: the index rows do
-#: not record the n they were built with, so build
-#: (minhash_index_rows / minhash_index_stream) and serve
-#: (near_dup_pairs_from_index) MUST use the same value — override the
-#: defaults together or the served pairs verify candidates from
-#: n-gram-A signatures with n-gram-B Jaccard (silently wrong set).
+#: default shingle width for the conversation index. The index rows
+#: RECORD the n they were built with (shingle_n column), and
+#: :func:`near_dup_pairs_from_index` refuses an index whose recorded n
+#: differs from its ``n`` argument — serving band-collision candidates
+#: against a different Jaccard definition would be a silently wrong
+#: pair set (review finding).
 INDEX_N = 3
+
+#: candidate-pair bound above which ``verify="auto"`` escalates the
+#: exact Jaccard verify to the signature estimate. Exact verify costs
+#: O(Σ_pairs |A∩B|) via the shared-shingle join — on a corpus whose
+#: near-threshold duplicate families band-collide (the banding worst
+#: case) candidates grow quadratically in family size: measured at
+#: sf10, 9.7M candidates → 405 s exact vs 108 s estimate. 500k
+#: candidates keeps the exact join comfortably sub-minute at bench
+#: scale while normal corpora (thousands of candidates) always verify
+#: exactly.
+AUTO_ESTIMATE_CANDIDATES = 500_000
 
 
 def conv_texts(state: DataFrame) -> DataFrame:
@@ -1284,8 +1295,21 @@ def minhash_index_rows(live: DataFrame, n: int = INDEX_N) -> DataFrame:
     """
     sigs = _minhash_from_shingle_rows(shingle_rows(conv_texts(live), n))
     return _band_rows(sigs).select(
-        F.col("doc_id").alias("conv_id"), "band", "band_key"
+        F.col("doc_id").alias("conv_id"),
+        "band",
+        "band_key",
+        F.lit(int(n)).alias("shingle_n"),
     )
+
+
+def _resolve_verify(verify: str, n_candidates: int, max_exact: int) -> str:
+    """The auto-mode decision rule, factored out for unit testing:
+    'auto' verifies exactly up to ``max_exact`` candidate pairs, then
+    escalates to the signature estimate (the O(candidates) scale
+    path); explicit modes are never switched."""
+    if verify != "auto":
+        return verify
+    return "exact" if n_candidates <= max_exact else "estimate"
 
 
 def near_dup_pairs_from_index(
@@ -1293,14 +1317,22 @@ def near_dup_pairs_from_index(
     state: DataFrame,
     n: int = INDEX_N,
     threshold: float = 0.7,
-    verify: str = "exact",
+    verify: str = "auto",
+    max_exact_candidates: int = AUTO_ESTIMATE_CANDIDATES,
 ) -> DataFrame:
     """Serve near-duplicate conversation pairs from the maintained band
     index: candidates come from the index's band-bucket self-join (NO
     signature recompute — the stream already paid it), then verified.
     Output (conv_a, conv_b, jaccard).
 
-    ``verify="exact"`` (default): exact Jaccard over ONLY the candidate
+    ``verify="auto"`` (default): count the band-collision candidates —
+    cheap, the index relation is tiny and already checkpointed — and
+    verify EXACTLY when they number ≤ ``max_exact_candidates``, else
+    escalate to the signature ESTIMATE. This guards the default
+    against the banding worst case (below) without an opt-in: normal
+    corpora produce few candidates and always get the exact answer.
+
+    ``verify="exact"``: exact Jaccard over ONLY the candidate
     conversations' transcripts (semi-join pruned before shingling) —
     identical to rebuilding the whole pipeline batch-side (pinned in
     tests/test_dedup_index.py) and the right mode when candidates are
@@ -1309,7 +1341,8 @@ def near_dup_pairs_from_index(
     the sf10 bench corpus whose ~100-replica families sit just under
     0.7 and band-collide ~9.7M candidate pairs that ALL verify to
     nothing — the shared-shingle join explodes quadratically in family
-    size (measured 400 s at sf10).
+    size (measured 400 s at sf10). Explicit "exact" is the opt-in that
+    accepts that cost; "auto" never takes it past the bound.
 
     ``verify="estimate"``: the standard MinHash-LSH scale answer
     (what Spark ML's MinHashLSH serves): jaccard ≈ fraction of equal
@@ -1322,7 +1355,10 @@ def near_dup_pairs_from_index(
     candidates yield 8.3k estimate-flips (pairs exact rejects) —
     the documented precision trade for O(candidates) cost.
 
-    ``n`` MUST equal the n the index was built with (see INDEX_N).
+    ``n`` MUST equal the n the index was built with: the index rows
+    record it (shingle_n), and a mismatch — or a legacy index that
+    predates the column — raises instead of silently verifying
+    candidates against a different Jaccard definition.
 
     Plan note: ``index`` is localCheckpointed before the self-join —
     when the index is computed in-session (the bench/oracle form)
@@ -1333,9 +1369,23 @@ def near_dup_pairs_from_index(
     shingle relation is checkpointed too (read 3x by the exact
     verify). Serving from the maintained parquet view pays only a
     no-op copy."""
-    if verify not in ("exact", "estimate"):
-        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    if verify not in ("auto", "exact", "estimate"):
+        raise ValueError(
+            f"verify must be 'auto', 'exact' or 'estimate', got {verify!r}"
+        )
+    if "shingle_n" not in index.columns:
+        raise ValueError(
+            "index does not record its shingle width (shingle_n column "
+            "missing — built by a pre-evolution minhash_index_rows?); "
+            "rebuild the index before serving"
+        )
     index = index.localCheckpoint(eager=True)
+    built_ns = [r[0] for r in index.select("shingle_n").distinct().collect()]
+    if built_ns and built_ns != [int(n)]:
+        raise ValueError(
+            f"index was built with shingle width(s) {sorted(built_ns)} but "
+            f"serve requested n={n}; build and serve must agree (INDEX_N)"
+        )
     a, b = index.alias("a"), index.alias("b")
     cand = (
         a.join(
@@ -1350,6 +1400,11 @@ def near_dup_pairs_from_index(
         )
         .distinct()
     )
+    if verify == "auto":
+        # the candidate relation is reused by every downstream path —
+        # checkpoint once, count cheaply, then decide
+        cand = cand.localCheckpoint(eager=True)
+        verify = _resolve_verify(verify, cand.count(), max_exact_candidates)
     touched = (
         cand.select(F.col("doc_a").alias("conv_id"))
         .unionByName(cand.select(F.col("doc_b").alias("conv_id")))

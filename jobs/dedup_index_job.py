@@ -60,10 +60,12 @@ def main() -> None:
     ap.add_argument("--serve-pairs", action="store_true")
     ap.add_argument(
         "--verify-mode",
-        choices=["exact", "estimate"],
-        default="exact",
-        help="pair verification: exact Jaccard (default) or the "
-        "signature-estimate scale path (see near_dup_pairs_from_index)",
+        choices=["auto", "exact", "estimate"],
+        default="auto",
+        help="pair verification: auto (default — exact up to the "
+        "candidate bound, then the signature-estimate scale path), "
+        "exact Jaccard always, or estimate always "
+        "(see near_dup_pairs_from_index)",
     )
     args = ap.parse_args()
 

@@ -157,3 +157,59 @@ def test_estimate_verify_agrees_on_planted_pairs(spark):
     j_exact = exact[0]["jaccard"]
     sigma = (j_exact * (1 - j_exact) / dedup.NUM_HASHES) ** 0.5
     assert abs(est[0]["jaccard"] - j_exact) <= 3 * sigma + 1e-9
+
+
+def test_auto_verify_decision_rule():
+    """'auto' verifies exactly up to the candidate bound, then
+    escalates to estimate; explicit modes never switch."""
+    assert dedup._resolve_verify("auto", 10, 100) == "exact"
+    assert dedup._resolve_verify("auto", 100, 100) == "exact"
+    assert dedup._resolve_verify("auto", 101, 100) == "estimate"
+    assert dedup._resolve_verify("exact", 10**9, 100) == "exact"
+    assert dedup._resolve_verify("estimate", 0, 100) == "estimate"
+
+
+def test_auto_escalates_above_candidate_bound(spark):
+    """The guarded default: with max_exact_candidates=0 every candidate
+    set escalates, and the served pairs equal the explicit estimate
+    mode — the quadratic exact path is unreachable without opting in
+    (review finding: the 405 s sf10 worst case behind verify='exact')."""
+    rows = [
+        ("c", "cA", 0, LONG_A, 100),
+        ("c", "cB", 0, LONG_B, 101),
+        ("c", "cC", 0, OTHER, 102),
+    ]
+    state = cdc.apply_changelog(_env(spark, rows))
+    index = dedup.minhash_index_rows(state)
+    auto = dedup.near_dup_pairs_from_index(
+        index, state, max_exact_candidates=0
+    )
+    est = dedup.near_dup_pairs_from_index(index, state, verify="estimate")
+    a = sorted(map(tuple, auto.collect()))
+    e = sorted(map(tuple, est.collect()))
+    assert a == e and a  # non-empty: the planted pair survives
+
+    # and the default bound keeps small candidate sets on the exact path
+    exact = dedup.near_dup_pairs_from_index(index, state, verify="exact")
+    d = dedup.near_dup_pairs_from_index(index, state)  # default auto
+    assert sorted(map(tuple, d.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_index_records_and_enforces_shingle_width(spark):
+    """The index rows record shingle_n; serving with a different n
+    refuses instead of silently verifying against a different Jaccard
+    definition (review finding), and an index lacking the column
+    (legacy build) is refused outright."""
+    import pytest
+
+    rows = [("c", "cA", 0, LONG_A, 100), ("c", "cB", 0, LONG_B, 101)]
+    state = cdc.apply_changelog(_env(spark, rows))
+    index = dedup.minhash_index_rows(state, n=3)
+    assert index.select("shingle_n").distinct().collect()[0][0] == 3
+    with pytest.raises(ValueError, match="shingle width"):
+        dedup.near_dup_pairs_from_index(index, state, n=4).collect()
+    legacy = index.drop("shingle_n")
+    with pytest.raises(ValueError, match="shingle_n column"):
+        dedup.near_dup_pairs_from_index(legacy, state)
