@@ -185,6 +185,42 @@ def run(spark: SparkSession, sf_dir: str, workdir: str) -> dict:
     return stats
 
 
+#: measured floor: the sf10 funnel (500k docs) OOMs the spark-submit
+#: default 1 GiB driver heap mid-pipeline (BENCH/BASELINE.md §2b²) —
+#: fail fast with the exact flag instead of dying 2 minutes in
+_MIN_DRIVER_HEAP_BYTES = 3 * 1024**3
+_LARGE_INPUT_BYTES = 256 * 1024**2
+
+
+def _check_driver_heap(spark: SparkSession, sf_dir: str) -> None:
+    """Undersized-driver fail-fast: in-code spark.driver.memory cannot
+    apply once the JVM is up, so an operator who forgets
+    ``--driver-memory`` on a large input would OOM mid-funnel. Compare
+    the LIVE JVM max heap (what -Xmx actually gave us) against the
+    input size and refuse with the exact remedy."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    try:
+        input_bytes = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(docs)
+            for f in fs
+        ) if os.path.isdir(docs) else os.path.getsize(docs)
+    except OSError:
+        return  # unreadable input fails later with its own error
+    max_heap = int(
+        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    )
+    if input_bytes >= _LARGE_INPUT_BYTES and max_heap < _MIN_DRIVER_HEAP_BYTES:
+        raise SystemExit(
+            f"curation_job: driver heap is {max_heap / 1024**3:.1f} GiB but "
+            f"the input ({input_bytes / 1024**2:.0f} MiB of documents) needs "
+            "more for the clustering/packing funnel — relaunch with "
+            "`spark-submit --driver-memory 8g ...` (in-code "
+            "spark.driver.memory cannot resize a running JVM; measured: "
+            "the sf10 run OOMs at the 1 GiB default, BENCH/BASELINE.md §2b²)"
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
@@ -194,6 +230,7 @@ def main() -> None:
     spark = SparkSession.builder.appName("curation").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
+    _check_driver_heap(spark, args.sf_dir)
     stats = run(spark, args.sf_dir, args.workdir)
     print(json.dumps({**stats, "workdir": args.workdir}))
     spark.stop()

@@ -60,3 +60,21 @@ def test_packed_output_is_shuffled_deterministically(spark, tmp_path):
         | (F.col("train_shard") != F.pmod(okey, F.lit(16)).cast("int"))
     )
     assert bad.count() == 0
+
+
+def test_driver_heap_failfast_message(spark, tmp_path, monkeypatch):
+    """Undersized driver heap + large input → one clear SystemExit
+    naming --driver-memory BEFORE the funnel starts (review finding:
+    the sf10 run otherwise OOMs 2 minutes in)."""
+    import pytest
+
+    import curation_job as cj
+
+    # pretend the input is large and the heap small
+    monkeypatch.setattr(cj, "_LARGE_INPUT_BYTES", 1)
+    monkeypatch.setattr(cj, "_MIN_DRIVER_HEAP_BYTES", 1 << 60)
+    with pytest.raises(SystemExit, match="--driver-memory 8g"):
+        cj._check_driver_heap(spark, "/root/testdata/sf0.001")
+    # adequately sized heap: no-op
+    monkeypatch.setattr(cj, "_MIN_DRIVER_HEAP_BYTES", 1)
+    cj._check_driver_heap(spark, "/root/testdata/sf0.001")
