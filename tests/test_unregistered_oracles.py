@@ -1,40 +1,23 @@
 """Oracle-grade coverage for queries NOT in the 50-slot driver registry.
 
-The driver checks at most 50 queries (CORRECTNESS_r02 recorded exactly
-the first 50 of 51 registered, in registration order), so three
-same-oracle/parameter twins were deregistered in round 3 to make room
-for window_late_data and text_rolling_fp_cp. This module keeps each of
-them pinned against the SAME DuckDB oracle locally, so deregistration
-never weakens their correctness guarantee:
+The driver checks at most 50 queries, so the window is ROTATED each
+round: an op that earned its independent driver CORRECTNESS row in a
+prior round can yield its slot to a never-driver-checked op, and gets
+pinned here against the SAME DuckDB oracle — deregistration never
+weakens a correctness guarantee.
 
-- turn_events_pandas_salted  (pre-salted shuffle twin of turn_events_pandas)
-- ann_ivf_topk_nprobe2       (nprobe=2 parameter variant of ann_ivf_topk)
-- dedup_simhash              (signature intermediate of dedup_simhash_pairs)
+Round-4 rotation (VERDICT r3 ask #2): rotated IN scd2_history,
+preference_pairs, cohort_exist_cube, search_live_state,
+abandoned_conversations, dedup_span, dedup_semantic (first driver rows);
+rotated OUT (now pinned here) cohort_exist_salted, window_sliding,
+ann_cosine_topk_numpy, dedup_embedding_cosine_lsh, text_rolling_fp_cp,
+dedup_jaccard_ngram, multimodal_decode_fake.
 
-plus the round-3 extension operators added after the registry filled:
-
-- dedup_substring            (word-level exact substring containment;
-                              O(n²) DuckDB ground truth also proves the
-                              anchor candidate set lossless)
-- vocab_rank_quality         (unigram-LM-proxy rank quality)
-- dedup_span                 (corpus-wide duplicate-span removal with
-                              document rewrite, ExactSubstr-style)
-- dedup_semantic             (SemDeDup: cluster-scoped embedding
-                              near-dup keep-first removal)
-- cohort_exist_adaptive      (hot-key-only selective salting, same
-                              oracle as cohort_exist — plans/skew.py
-                              defense #4)
-- search_live_state          (semantic search over the materialized
-                              CDC state: deterministic cross-engine
-                              embedder + broadcast top-k cosine —
-                              operators/semsearch.py)
-- search_index_pruned        (IVF-pruned variant: cell-partitioned
-                              index vs a corpus-sample codebook,
-                              nprobe-pruned scoring)
-- abandoned_conversations    (batch twin of the event-time-TIMER CEP
-                              op — gap-sessionize + final-watermark
-                              cutoff; streaming ≡ twin pinned in
-                              tests/test_streaming_ops.py)
+Earlier-round residents that never had driver slots stay pinned here
+too: turn_events_pandas_salted, ann_ivf_topk_nprobe2, dedup_simhash,
+dedup_substring, vocab_rank_quality, scd2_asof, edit_churn,
+ann_pq_topk, cohort_exist_adaptive, near_dups_live_state,
+search_index_pruned.
 """
 
 from __future__ import annotations
@@ -66,6 +49,47 @@ CASES = [
         eq.q_turn_events_pandas_salted,
         lambda: eq.TURN_EVENTS_ORACLE,
     ),
+    # --- rotated OUT of the driver window in round 4 (each earned its
+    # driver CORRECTNESS rows in r1–r3; same oracles pinned here so
+    # rotation never weakens a guarantee) ---
+    (
+        "cohort_exist_salted",
+        eq.q_cohort_exist_salted,
+        lambda: eq.COHORT_EXIST_ORACLE,
+    ),
+    (
+        "window_sliding",
+        eq.q_window_sliding,
+        lambda: eq.WINDOW_SLIDING_ORACLE,
+    ),
+    (
+        "ann_cosine_topk_numpy",
+        eq.q_ann_cosine_topk_numpy,
+        lambda: similarity.cosine_topk_rank_sql("embeddings"),
+    ),
+    (
+        "dedup_embedding_cosine_lsh",
+        eq.q_dedup_embedding_lsh,
+        lambda: dedup.embedding_near_dup_lsh_sql("embeddings"),
+    ),
+    (
+        "text_rolling_fp_cp",
+        eq.q_text_rolling_fp_cp,
+        lambda: textfn.rolling_fp_codepoint_sql("documents"),
+    ),
+    (
+        "dedup_jaccard_ngram",
+        eq.q_dedup_jaccard,
+        lambda: dedup.jaccard_pairs_sql("documents"),
+    ),
+    (
+        "multimodal_decode_fake",
+        eq.q_multimodal_decode,
+        lambda: __import__(
+            "flink_cdc_mysql_sink_to_mysql_spark.operators.multimodal",
+            fromlist=["decode_fake_sql"],
+        ).decode_fake_sql("documents"),
+    ),
     (
         "ann_ivf_topk_nprobe2",
         eq.q_ann_ivf_topk_nprobe2,
@@ -87,21 +111,6 @@ CASES = [
         lambda: textfn.vocab_rank_quality_sql("documents"),
     ),
     (
-        "dedup_span",
-        eq.q_dedup_span,
-        lambda: dedup.span_dedup_sql("documents"),
-    ),
-    (
-        "dedup_semantic",
-        eq.q_dedup_semantic,
-        lambda: similarity.semantic_dedup_sql("embeddings"),
-    ),
-    (
-        "scd2_history",
-        eq.q_scd2_history,
-        lambda: eq.SCD2_ORACLE,
-    ),
-    (
         "scd2_asof",
         eq.q_scd2_asof,
         lambda: history.asof_snapshot_sql(eq.SCD2_ORACLE, eq.ASOF_SEQ),
@@ -110,13 +119,6 @@ CASES = [
         "edit_churn",
         eq.q_edit_churn,
         lambda: history.edit_churn_sql(eq.MYSQL_CHANGELOG_SQL),
-    ),
-    (
-        "preference_pairs",
-        eq.q_preference_pairs,
-        lambda: history.preference_pairs_sql(
-            eq.MYSQL_CHANGELOG_SQL, eq.MONGO_CHANGELOG_SQL
-        ),
     ),
     (
         "ann_pq_topk",
@@ -129,29 +131,9 @@ CASES = [
         lambda: eq.COHORT_EXIST_ORACLE,
     ),
     (
-        "cohort_exist_cube",
-        eq.q_cohort_exist_cube,
-        lambda: eq.COHORT_EXIST_ORACLE,
-    ),
-    (
         "near_dups_live_state",
         eq.q_near_dups_live_state,
         lambda: eq.near_dups_live_oracle(),
-    ),
-    (
-        "search_live_state",
-        eq.q_search_live_state,
-        lambda: __import__(
-            "flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
-            fromlist=["search_live_state_sql"],
-        ).search_live_state_sql(
-            f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
-        ),
-    ),
-    (
-        "abandoned_conversations",
-        eq.q_abandoned_conversations,
-        lambda: eq.abandoned_conversations_oracle(),
     ),
     (
         "search_index_pruned",
