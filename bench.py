@@ -387,16 +387,203 @@ def run_skew_compare(cpus: int = 8, n_turns: int = 10_000_000) -> dict:
         ).count()
         assert diff == 0, f"{name} diverged from direct by {diff} rows"
     direct_df.unpersist()
+
+    # --- closed loop (plans/skew.py defense #4, ONLINE half): run the
+    # SAME zipf changelog through the materialization stream with
+    # track_hot_convs=N, then evaluate the rule with hot keys taken
+    # from the live `.hot/` feed — detection costs the downstream job
+    # NOTHING because the stream already paid it per micro-batch.
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.skew import (
+        hot_keys_from_feed,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    wd = tempfile.mkdtemp(prefix="skew-feed-")
+    feed_info: dict = {}
+    try:
+        spool = os.path.join(wd, "spool")
+        pl.spool_changelog(
+            synth_envelopes(spark, n_turns), spool, n_chunks=4
+        )
+        t0 = time.perf_counter()
+        pl.materialize_stream(
+            spark,
+            spool,
+            MergeParquetSink(os.path.join(wd, "sink"), n_buckets=32),
+            os.path.join(wd, "ck"),
+            lineage_path=os.path.join(wd, "lineage"),
+            track_hot_convs=8,
+        )
+        feed_info["stream_wall_s"] = round(time.perf_counter() - t0, 3)
+        hot_feed = hot_keys_from_feed(
+            spark, os.path.join(wd, "lineage") + ".hot", min_batches=2
+        ).persist()
+        feed_info["hot_keys"] = [
+            [r["conv_id"], int(r["hot_count"])]
+            for r in hot_feed.orderBy(F.desc("hot_count")).collect()
+        ][:8]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = cohort.exist_conv_ids_adaptive(
+                events, rule, now, hot=hot_feed
+            ).count()
+            wall = round(time.perf_counter() - t0, 3)
+            k = "adaptive_from_stream_feed"
+            if k not in times or wall < times[k]:
+                times[k] = wall
+            counts[k] = n
+        # same correctness gate as the in-session variants
+        fed = cohort.exist_conv_ids_adaptive(events, rule, now, hot=hot_feed)
+        direct2 = variants["direct"]()
+        diff = fed.exceptAll(direct2).count() + direct2.exceptAll(fed).count()
+        assert diff == 0, f"stream-feed variant diverged by {diff} rows"
+        hot_feed.unpersist()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+
     events.unpersist()
-    assert len(set(counts.values())) == 1, counts  # same cohort, 4 plans
+    assert len(set(counts.values())) == 1, counts  # same cohort, 5 plans
     return {
         "metric": "skew_compare_wall_seconds",
         "value": times,
         "unit": "sec",
         "events": n_events,
         "cohort_rows": counts["direct"],
+        "stream_feed": feed_info,
         "cpus": cpus,
         "reps": 2,
+    }
+
+
+def run_serve_maintained(sf_dir: str, cpus: int) -> dict:
+    """Serving cost FROM the streaming-maintained views (VERDICT r3
+    ask #4): the amortization claim for `search_index_pruned` and
+    `near_dups_live_state` is that the maintained parquet views absorb
+    the embed/signature/assign cost incrementally, so SERVING pays only
+    the final join/top-k. This mode builds both views via their streams
+    once (timed as build_*), then times serving-only against the views,
+    next to the one-shot in-session forms at the same SF for the delta.
+
+    Serving reads the state snapshot too (the exact verify / nothing on
+    the search path), so serve ≪ one-shot is the expected shape — not
+    serve ≈ 0."""
+    import shutil
+    import tempfile
+
+    from flink_cdc_mysql_sink_to_mysql_spark.operators import (
+        cdc,
+        dedup as dd,
+        semsearch,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (
+        mysql_changelog,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming import pipeline as pl
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.ivm import (
+        GroupedReplaceParquetSink,
+    )
+    from flink_cdc_mysql_sink_to_mysql_spark.streaming.sink import (
+        MergeParquetSink,
+    )
+
+    spark = get_spark(app_name="bench-serve", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    wd = tempfile.mkdtemp(prefix="serve-maintained-")
+    out: dict = {}
+    try:
+        spool = os.path.join(wd, "spool")
+        pl.spool_changelog(mysql_changelog(spark, sf_dir), spool, n_chunks=4)
+
+        # frozen codebook for the cell-partitioned embedding index —
+        # trained/sampled ONCE at bootstrap in production; here from the
+        # batch materialization (deterministic first-N rows)
+        state_batch = cdc.apply_changelog(spark.read.parquet(spool))
+        codebook = semsearch.index_codebook(
+            semsearch.embedding_rows(state_batch)
+        ).persist()
+        codebook.count()
+
+        # build 1: streaming-maintained cell-partitioned embedding index
+        st1 = MergeParquetSink(os.path.join(wd, "state_emb"), n_buckets=32)
+        emb_ix = GroupedReplaceParquetSink(
+            os.path.join(wd, "emb_ix"),
+            n_buckets=32,
+            schema_ddl=semsearch.INDEX_CELLS_VIEW_DDL,
+        )
+        t0 = time.perf_counter()
+        semsearch.embedding_index_stream(
+            spark, spool, st1, emb_ix, os.path.join(wd, "ck_emb"),
+            codebook=codebook,
+        )
+        out["build_embedding_index_s"] = round(time.perf_counter() - t0, 3)
+
+        # build 2: streaming-maintained minhash band index
+        st2 = MergeParquetSink(os.path.join(wd, "state_band"), n_buckets=32)
+        band_ix = GroupedReplaceParquetSink(
+            os.path.join(wd, "band_ix"),
+            n_buckets=32,
+            schema_ddl=dd.MINHASH_INDEX_VIEW_DDL,
+        )
+        t0 = time.perf_counter()
+        dd.minhash_index_stream(
+            spark, spool, st2, band_ix, os.path.join(wd, "ck_band")
+        )
+        out["build_band_index_s"] = round(time.perf_counter() - t0, 3)
+
+        emb_view = emb_ix.read_view(spark)
+        band_view = band_ix.read_view(spark)
+        state_live = st2.snapshot(spark)
+        out["index_rows"] = {
+            "embedding": emb_view.count(),
+            "band": band_view.count(),
+        }
+
+        serves = {
+            "serve_search_pruned": lambda: semsearch.search_index_pruned(
+                emb_view, codebook
+            ),
+            "serve_search_flat": lambda: semsearch.search_index(emb_view),
+            "serve_near_dup_pairs": lambda: dd.near_dup_pairs_from_index(
+                band_view, state_live
+            ),
+        }
+        # one-shot in-session forms (pay embed/signature/assign every
+        # call) for the amortization delta
+        qs = dict(entry_queries.queries())
+        for alias, qname in (
+            ("oneshot_search_pruned", "search_index_pruned"),
+            ("oneshot_near_dup_pairs", "near_dups_live_state"),
+        ):
+            fn = qs.get(qname) or getattr(entry_queries, f"q_{qname}")
+            serves[alias] = (lambda f=fn: f(spark, sf_dir))
+
+        times: dict[str, float] = {}
+        for _ in range(max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))):
+            for name, fn in serves.items():
+                t0 = time.perf_counter()
+                _force(fn())
+                wall = round(time.perf_counter() - t0, 3)
+                if name not in times or wall < times[name]:
+                    times[name] = wall
+        out["serve_s"] = times
+        codebook.unpersist()
+    finally:
+        shutil.rmtree(wd, ignore_errors=True)
+    return {
+        "metric": "serve_maintained_wall_seconds",
+        "value": out,
+        "unit": "sec",
+        "cpus": cpus,
+        "sf_dir": sf_dir,
     }
 
 
@@ -774,6 +961,10 @@ def main() -> None:
 
     if "--skew-compare" in sys.argv:
         print(json.dumps(run_skew_compare(cpus=min(cpus, 8))))
+        return
+
+    if "--serve-maintained" in sys.argv:
+        print(json.dumps(run_serve_maintained(sf_dir, cpus)))
         return
 
     if "--spooled" in sys.argv:

@@ -181,6 +181,7 @@ def exist_conv_ids_adaptive(
     buckets: int = 32,
     min_frac: float = 0.01,
     sample_frac: float | None = None,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Adaptive-salting variant of :func:`exist_conv_ids`
     (plans/skew.py defense #4): detect the conv_ids carrying
@@ -190,13 +191,22 @@ def exist_conv_ids_adaptive(
     partial-row tax blanket salting charges every key. Row-identical to
     the direct form (algebraic aggregates) — checked against the SAME
     DuckDB oracle in tests/test_unregistered_oracles.py.
-    """
+
+    ``hot`` (a (conv_id, …) DataFrame) skips the detection scan
+    entirely — the ONLINE closed loop: feed it
+    ``plans.skew.hot_keys_from_feed`` over the ``.hot/`` feed the
+    materialization stream maintains (``materialize_stream(...,
+    track_hot_convs=N)``), and detection costs this job nothing
+    because the stream already paid it per micro-batch."""
     from ..plans.skew import hot_keys, selective_salted_agg
 
     df, aggs, having = _salted_rule_parts(events, rule, now)
     if aggs is None:
         return df.select("conv_id").distinct()
-    hot = hot_keys(df, ["conv_id"], min_frac=min_frac, sample_frac=sample_frac)
+    if hot is None:
+        hot = hot_keys(
+            df, ["conv_id"], min_frac=min_frac, sample_frac=sample_frac
+        )
     out = selective_salted_agg(
         df, ["conv_id"], aggs, hot=hot, buckets=buckets, salt_source="seq"
     )

@@ -92,3 +92,28 @@ def test_cutoff_is_start_of_day_minus_value_minus_1(spark):
         EVENTS,
     )
     assert ids(cohort.exist_conv_ids(events, rule, NOW)) == ["in"]
+
+
+def test_adaptive_with_precomputed_hot_feed_equals_direct(spark):
+    """exist_conv_ids_adaptive(hot=...) — the ONLINE closed loop where
+    the hot-key set comes from the stream's .hot/ feed instead of an
+    in-session detection scan — must stay row-identical to the direct
+    plan, including when the fed set is empty, wrong, or partial
+    (salting is semantics-free for algebraic aggregates)."""
+    from pyspark.sql import functions as F
+
+    rule = cohort.REFERENCE_RULES[1]
+    rows = (
+        [ev("hot", 2, metric="40.00")] * 6
+        + [ev("ok", 2, metric="40.00"), ev("ok", 2, metric="50.00")]
+        + [ev("cold", 2, metric="1.00")]
+    )
+    events = (
+        spark.createDataFrame(rows, EVENTS)
+        .withColumn("seq", F.monotonically_increasing_id())
+    )
+    direct = ids(cohort.exist_conv_ids(events, rule, NOW))
+    for hot_rows in ([], [("hot",)], [("nosuch",)], [("hot",), ("cold",)]):
+        hot = spark.createDataFrame(hot_rows, "conv_id string")
+        got = ids(cohort.exist_conv_ids_adaptive(events, rule, NOW, hot=hot))
+        assert got == direct, hot_rows
