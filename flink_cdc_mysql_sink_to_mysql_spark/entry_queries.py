@@ -963,9 +963,17 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
+    # Explicit broadcast: AQE does NOT replan this anti-join (the
+    # localCheckpoint barrier inside the MinHash feed hides the tiny
+    # runtime size), so without the hint Catalyst sort-merge-joins and
+    # shuffles the full profile relation — measured 33–47 s vs 13 s at
+    # sf10, 169 s vs ~110 s at sf100. The loser set is a DISTINCT id
+    # projection of the dup pairs (≪ corpus at real dup rates: 327k ids
+    # ≈ 3 MB at sf100); at extreme scale (≥ ~100M losers) drop the hint
+    # and take the shuffle anti-join.
     kept = p.where(
         (F.col("quality_score") >= 60) & (F.col("n_words") >= 20)
-    ).join(losers, "doc_id", "left_anti")
+    ).join(F.broadcast(losers), "doc_id", "left_anti")
     return kept.groupBy("lang_pred").agg(
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
