@@ -160,39 +160,37 @@ ASOF_SEQ = 1705367014557
 
 # SCD2 version history — every text a turn ever had with its
 # [valid_from, valid_to) interval; the history complement of
-# cdc_apply_upsert's latest-image view. ROTATED INTO the 50-slot
-# driver window in round 4 (first independent driver row); semantic
-# tests in tests/test_history.py.
-@register("scd2_history", oracle=SCD2_ORACLE)
+# cdc_apply_upsert's latest-image view. Driver row earned in round 4;
+# ROTATED OUT in round 5 (pinned vs the same oracle in
+# tests/test_unregistered_oracles.py) to give its slot to scd2_asof.
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.scd2_history(changelog_envelopes(spark, sf_dir))
 
 
-# NOT driver-registered (50-query budget): time travel over the SCD2
-# table — the corpus as of a fixed change-sequence; same sweeps.
+# Time travel over the SCD2 table — the corpus as of a fixed
+# change-sequence. ROTATED INTO the driver window in round 5 (first
+# independent driver row); tests/test_history.py.
+@register(
+    "scd2_asof", oracle=history.asof_snapshot_sql(SCD2_ORACLE, ASOF_SEQ)
+)
 def q_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.asof_snapshot(
         history.scd2_history(changelog_envelopes(spark, sf_dir)), ASOF_SEQ
     )
 
 
-# NOT driver-registered (50-query budget): per-conversation edit-churn
-# metrics from the before/after images (the only reader of the
-# before-image TEXT); local oracle sweep + tests/test_history.py.
+# Per-conversation edit-churn metrics from the before/after images (the
+# only reader of the before-image TEXT). ROTATED INTO the driver window
+# in round 5 (first independent driver row); tests/test_history.py.
+@register("edit_churn", oracle=history.edit_churn_sql(MYSQL_CHANGELOG_SQL))
 def q_edit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return history.edit_churn(changelog_envelopes(spark, sf_dir))
 
 
 # DPO-style preference pairs mined from assistant-turn edits
 # (rejected = before-image, chosen = after-image, prompt = nearest
-# preceding served user turn). ROTATED INTO the driver window in
-# round 4 (first independent driver row); tests/test_history.py.
-@register(
-    "preference_pairs",
-    oracle=history.preference_pairs_sql(
-        MYSQL_CHANGELOG_SQL, MONGO_CHANGELOG_SQL
-    ),
-)
+# preceding served user turn). Driver row earned in round 4; ROTATED
+# OUT in round 5 (pinned vs the same oracle locally) to free a slot.
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = changelog_envelopes(spark, sf_dir)
     return history.preference_pairs(env, cdc.apply_changelog(env))
@@ -570,9 +568,10 @@ def q_cohort_exist_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOT driver-registered (50-query budget): adaptive hot-key-only salting
-# (plans/skew.py defense #4) — detect hot conv_ids, salt only those;
-# SAME oracle as cohort_exist via tests/test_unregistered_oracles.py.
+# Adaptive hot-key-only salting (plans/skew.py defense #4) — detect hot
+# conv_ids, salt only those; SAME oracle as cohort_exist. ROTATED INTO
+# the driver window in round 5 (first independent driver row).
+@register("cohort_exist_adaptive", oracle=COHORT_EXIST_ORACLE)
 def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort.exist_conv_ids_adaptive(
         _events_for_cohort(spark, sf_dir), RULE_EXIST, COHORT_NOW
@@ -583,10 +582,8 @@ def q_cohort_exist_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cube — the dynamic-rule serving path
 # (streaming/cohort_stream.run_dynamic_cohorts). SAME oracle as
 # cohort_exist: the cube evaluation must be row-identical to the direct
-# scan (algebraic re-aggregation, start-of-day cutoffs select whole
-# cells). ROTATED INTO the driver window in round 4 (first independent
-# driver row), taking cohort_exist_salted's slot.
-@register("cohort_exist_cube", oracle=COHORT_EXIST_ORACLE)
+# scan. Driver row earned in round 4; ROTATED OUT in round 5 (pinned vs
+# the same oracle locally) to give the slot to cohort_exist_adaptive.
 def q_cohort_exist_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = cohort.events_cube(_events_for_cohort(spark, sf_dir))
     return cohort.exist_conv_ids_from_cube(cube, RULE_EXIST, COHORT_NOW)
@@ -594,14 +591,9 @@ def q_cohort_exist_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # semantic search over the LIVE CDC state — embed what the changelog
 # has materialized and serve broadcast top-k cosine over it
-# (operators/semsearch.py; the A+B bridge). ROTATED INTO the driver
-# window in round 4 (first independent driver row).
-@register(
-    "search_live_state",
-    oracle=_semsearch.search_live_state_sql(
-        f"SELECT conv_id, turn_idx, text FROM ({CDC_APPLY_ORACLE})"
-    ),
-)
+# (operators/semsearch.py; the A+B bridge). Driver row earned in round
+# 4; ROTATED OUT in round 5 (pinned vs the same oracle locally) to give
+# the slot to its IVF-pruned sibling search_index_pruned.
 def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import semsearch
 
@@ -610,13 +602,19 @@ def q_search_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# NOT driver-registered (50-query budget): conversation-grain near-dup
-# pairs served from the maintained band index (operators/dedup.py:
-# minhash_index_rows + near_dup_pairs_from_index). Oracle = DuckDB
-# brute-force conv-grain Jaccard over the materialized corpus — on this
-# corpus the qualifying set is EMPTY (max conv-grain jaccard ≈ 0.14),
-# so the sweep checks schema + no-false-positives; planted-dup recall
-# and CDC-following are pinned in tests/test_dedup_index.py.
+SEARCH_LIVE_STATE_ORACLE = _semsearch.search_live_state_sql(
+    f"SELECT conv_id, turn_idx, text FROM ({CDC_APPLY_ORACLE})"
+)
+
+
+# Conversation-grain near-dup pairs served from the maintained band
+# index (operators/dedup.py: minhash_index_rows +
+# near_dup_pairs_from_index). Oracle = DuckDB brute-force conv-grain
+# Jaccard over the materialized corpus — on this corpus the qualifying
+# set is EMPTY (max conv-grain jaccard ≈ 0.14), so the driver row
+# checks schema + no-false-positives; planted-dup recall and
+# CDC-following are pinned in tests/test_dedup_index.py. ROTATED INTO
+# the driver window in round 5 (first independent driver row).
 def q_near_dups_live_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = cdc.apply_changelog(changelog_envelopes(spark, sf_dir))
     index = dedup.minhash_index_rows(state)
@@ -633,6 +631,12 @@ def near_dups_live_oracle() -> str:
         f"({dedup.conv_texts_sql(CDC_APPLY_ORACLE)})"
     )
     return NEAR_DUPS_LIVE_ORACLE_TMPL.format(inner=inner)
+
+
+# (registration deferred past the oracle helper it needs)
+register("near_dups_live_state", oracle=near_dups_live_oracle())(
+    q_near_dups_live_state
+)
 
 
 # the timer-CEP batch twin — abandoned activity bursts (gap-sessionize;
@@ -697,9 +701,16 @@ register("abandoned_conversations", oracle=abandoned_conversations_oracle())(
 )
 
 
-# NOT driver-registered (50-query budget): IVF-pruned variant — the
-# index is cell-partitioned against a corpus-sample codebook and each
-# query probes only its nprobe nearest cells. Same-oracle sweep.
+# IVF-pruned variant — the index is cell-partitioned against a
+# corpus-sample codebook and each query probes only its nprobe nearest
+# cells. ROTATED INTO the driver window in round 5 (first independent
+# driver row), taking its brute sibling search_live_state's slot.
+@register(
+    "search_index_pruned",
+    oracle=_semsearch.search_index_pruned_sql(
+        f"SELECT conv_id, turn_idx, text FROM ({CDC_APPLY_ORACLE})"
+    ),
+)
 def q_search_index_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import semsearch
 
@@ -786,8 +797,9 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Vocabulary induction: corpus-wide top-k term stats — one term-keyed
 # hash agg with map-side combine, then TakeOrderedAndProject (no global
-# sort); deterministic tie-break (functions/text.py)
-@register("vocab_top_terms", oracle=textfn.vocab_top_terms_sql("documents"))
+# sort); deterministic tie-break (functions/text.py). Driver rows
+# earned r2–r4; ROTATED OUT in round 5 (pinned vs the same oracle
+# locally) to free a slot for a never-driver-checked op.
 def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.vocab_top_terms(_docs(spark, sf_dir))
 
@@ -838,8 +850,9 @@ def q_trace_tool_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic training-order shuffle: seeded portable hash → shard +
-# order key (replay-stable, engine-exact; operators/examples.py §5)
-@register("shuffle_shards", oracle=examples.shuffle_shards_sql("documents"))
+# order key (replay-stable, engine-exact; operators/examples.py §5).
+# Driver rows earned r2–r4; ROTATED OUT in round 5 (pinned vs the same
+# oracle locally) to free a slot for a never-driver-checked op.
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return examples.shuffle_shards(_docs(spark, sf_dir))
 
@@ -911,16 +924,22 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir))
 
 
-# NOT driver-registered (50-query budget): word-level exact substring
-# containment — pigeonhole anchor join vs an O(n²) DuckDB ground truth;
-# pinned by the local oracle sweep (tests/test_unregistered_oracles.py)
-# and semantic unit tests (tests/test_training_ops.py).
+# Word-level exact substring containment — pigeonhole anchor join vs
+# an O(n²) DuckDB ground truth; semantic unit tests in
+# tests/test_training_ops.py. ROTATED INTO the driver window in round 5
+# (first independent driver row).
+@register(
+    "dedup_substring", oracle=dedup.substring_containment_sql("documents")
+)
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_containment_pairs(_docs(spark, sf_dir))
 
 
-# NOT driver-registered (50-query budget): unigram-LM-proxy quality
-# (rank-based, integer-exact); local oracle sweep + unit tests.
+# Unigram-LM-proxy quality (rank-based, integer-exact). ROTATED INTO
+# the driver window in round 5 (first independent driver row).
+@register(
+    "vocab_rank_quality", oracle=textfn.vocab_rank_quality_sql("documents")
+)
 def q_vocab_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textfn.vocab_rank_quality(_docs(spark, sf_dir))
 
@@ -931,6 +950,12 @@ def q_vocab_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(_emb(spark, sf_dir))
+
+
+# above this many dup-loser ids the curation anti-join's broadcast
+# build (~10 bytes/id → ~1 GB at 100M) risks OOMing the driver; the
+# gate in q_corpus_curation falls back to the shuffle anti-join there
+CURATION_BROADCAST_MAX_LOSERS = 100_000_000
 
 
 # capstone: the canonical curation pipeline — quality filter + near-dup
@@ -962,6 +987,10 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_lsh_pairs(docs)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
+        # materialize the tiny id set once: the count below (which picks
+        # the join strategy) and the anti-join both reuse it instead of
+        # re-running the MinHash feed
+        .localCheckpoint(eager=True)
     )
     # Explicit broadcast: AQE does NOT replan this anti-join (the
     # localCheckpoint barrier inside the MinHash feed hides the tiny
@@ -969,11 +998,18 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles the full profile relation — measured 33–47 s vs 13 s at
     # sf10, 169 s vs ~110 s at sf100. The loser set is a DISTINCT id
     # projection of the dup pairs (≪ corpus at real dup rates: 327k ids
-    # ≈ 3 MB at sf100); at extreme scale (≥ ~100M losers) drop the hint
-    # and take the shuffle anti-join.
+    # ≈ 3 MB at sf100). The hint is GATED on the materialized count so
+    # an extreme-cardinality loser set falls back to the shuffle
+    # anti-join instead of OOMing the driver's broadcast build (review
+    # finding) — no code edit needed at any scale.
+    anti_side = (
+        F.broadcast(losers)
+        if losers.count() <= CURATION_BROADCAST_MAX_LOSERS
+        else losers
+    )
     kept = p.where(
         (F.col("quality_score") >= 60) & (F.col("n_words") >= 20)
-    ).join(F.broadcast(losers), "doc_id", "left_anti")
+    ).join(anti_side, "doc_id", "left_anti")
     return kept.groupBy("lang_pred").agg(
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_bpe_tokens").cast("bigint").alias("total_bpe_tokens"),
@@ -1010,18 +1046,22 @@ def q_ann_ivf_topk_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir), nprobe=2)
 
 
-# NOT driver-registered (50-query budget): product-quantization ANN —
-# compressed-domain top-k via explicit reconstruction (bit-exact DuckDB
-# twin in the local oracle sweep); the table-lookup ADC kernel and the
-# per-subvector k-means trainer are rank-/objective-pinned in
-# tests/test_pq.py.
+# Product-quantization ANN — compressed-domain top-k via explicit
+# reconstruction (bit-exact DuckDB twin); the per-subvector k-means
+# trainer is objective-pinned in tests/test_pq.py. ROTATED INTO the
+# driver window in round 5 (first independent driver row).
+@register("ann_pq_topk", oracle=similarity.pq_topk_sql("embeddings"))
 def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(_emb(spark, sf_dir))
 
 
-# NOT driver-registered: ADC table-lookup kernel — no SQL twin by
-# nature (numpy gather); rank-pinned against q_ann_pq_topk in
-# tests/test_pq.py, benched via bench.py --r3.
+# ADC table-lookup kernel — no SQL twin by nature (numpy gather);
+# rank-pinned against q_ann_pq_topk in tests/test_pq.py. ROTATED INTO
+# the driver window in round 5 WITHOUT an oracle entry: the driver
+# records its documented weaker rows-only check (the non-SQL-
+# expressible-op contract) — its exactness guarantee remains the local
+# rank-equality pin.
+@register("ann_pq_topk_adc")
 def q_ann_pq_topk_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_adc(_emb(spark, sf_dir))
 
@@ -1100,8 +1140,9 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return examples.stratified_sample(_docs(spark, sf_dir))
 
 
-# fixed-size complement: exactly-k eval docs per lang, WindowGroupLimit plan
-@register("sample_topk", oracle=examples.stratified_topk_sql(_DOCS_REL))
+# fixed-size complement: exactly-k eval docs per lang, WindowGroupLimit
+# plan. Driver rows earned r2–r4; ROTATED OUT in round 5 (pinned vs the
+# same oracle locally) to free a slot for a never-driver-checked op.
 def q_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return examples.stratified_topk(_docs(spark, sf_dir))
 
@@ -1126,7 +1167,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", oracle=multimodal.frame_sample_sql("documents"))
+# Driver rows earned r2–r4; ROTATED OUT in round 5 (pinned vs the same
+# oracle locally) to free a slot for a never-driver-checked op.
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(
         multimodal.media_table(_docs(spark, sf_dir))
@@ -1146,14 +1188,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact-name aliases so bench.py's q_<registry-name> fallback resolves
 # the rotated-out ops
 q_multimodal_decode_fake = q_multimodal_decode
+q_multimodal_frame_sample = q_multimodal_frames
 
 
 # span-grain duplicate REMOVAL with document rewrite
 # (ExactSubstr-style, Lee et al. 2022) — the dedup that edits documents
-# instead of dropping them whole. ROTATED INTO the driver window in
-# round 4 (first independent driver row); unit tests in
-# tests/test_training_ops.py.
-@register("dedup_span", oracle=dedup.span_dedup_sql("documents"))
+# instead of dropping them whole. Driver row earned in round 4; ROTATED
+# OUT in round 5 (pinned vs the same oracle locally) to free a slot.
 def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup(_docs(spark, sf_dir))
 

@@ -30,10 +30,14 @@ bit-identical between Spark and DuckDB (see tests/test_dedup.py).
 
 from __future__ import annotations
 
+import logging
+
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from ..functions.text import (
     _sql_words,
@@ -1319,6 +1323,7 @@ def near_dup_pairs_from_index(
     threshold: float = 0.7,
     verify: str = "auto",
     max_exact_candidates: int = AUTO_ESTIMATE_CANDIDATES,
+    mode_out: dict | None = None,
 ) -> DataFrame:
     """Serve near-duplicate conversation pairs from the maintained band
     index: candidates come from the index's band-bucket self-join (NO
@@ -1359,6 +1364,13 @@ def near_dup_pairs_from_index(
     record it (shingle_n), and a mismatch — or a legacy index that
     predates the column — raises instead of silently verifying
     candidates against a different Jaccard definition.
+
+    ``mode_out``: pass a dict to receive the RESOLVED verify mode
+    (``mode_out["verify"]`` ∈ {"exact", "estimate"}; under auto also
+    ``mode_out["n_candidates"]``). Auto's escalation is additionally
+    logged (WARNING) so a corpus growing past the bound — which flips
+    the served jaccard semantics — is attributable without reading
+    this docstring.
 
     Plan note: ``index`` is localCheckpointed before the self-join —
     when the index is computed in-session (the bench/oracle form)
@@ -1404,7 +1416,35 @@ def near_dup_pairs_from_index(
         # the candidate relation is reused by every downstream path —
         # checkpoint once, count cheaply, then decide
         cand = cand.localCheckpoint(eager=True)
-        verify = _resolve_verify(verify, cand.count(), max_exact_candidates)
+        n_candidates = cand.count()
+        verify = _resolve_verify(verify, n_candidates, max_exact_candidates)
+        # surface the resolution: a corpus growing past the bound flips
+        # pair SEMANTICS (estimate admits ~σ=0.08 near-threshold flips)
+        # between two runs of the same code — the serve must say which
+        # path ran (review finding). mode_out carries it to callers
+        # (jobs record the RESOLVED mode, never "auto"); the log line
+        # makes the flip visible even to callers that don't ask.
+        if verify == "estimate":
+            _LOG.warning(
+                "near_dup_pairs_from_index: auto escalated to the "
+                "signature ESTIMATE (%d band candidates > bound %d); "
+                "served jaccard values are K=%d-signature estimates, "
+                "not exact",
+                n_candidates,
+                max_exact_candidates,
+                NUM_HASHES,
+            )
+        else:
+            _LOG.info(
+                "near_dup_pairs_from_index: auto resolved to EXACT "
+                "verify (%d band candidates <= bound %d)",
+                n_candidates,
+                max_exact_candidates,
+            )
+        if mode_out is not None:
+            mode_out["n_candidates"] = n_candidates
+    if mode_out is not None:
+        mode_out["verify"] = verify
     touched = (
         cand.select(F.col("doc_a").alias("conv_id"))
         .unionByName(cand.select(F.col("doc_b").alias("conv_id")))

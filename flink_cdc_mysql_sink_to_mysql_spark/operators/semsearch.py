@@ -38,6 +38,8 @@ SEARCH_TOPK = 5
 #: queries: first-turn texts of conv_ids ending in '0', first Q_CAP in
 #: conv_id order — deterministic, bounded, expressible in both engines
 SEARCH_Q_CAP = 16
+INDEX_CELLS = 64
+SEARCH_NPROBE = 2
 
 
 def text_embedding(col: Column, dim: int = EMB_DIM) -> Column:
@@ -159,6 +161,57 @@ def embedding_index_stream(
     )
 
 
+def search(
+    state: DataFrame,
+    index: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+    topk: int = SEARCH_TOPK,
+    q_cap: int = SEARCH_Q_CAP,
+    nprobe: int = SEARCH_NPROBE,
+) -> DataFrame:
+    """THE search front door — routes to the cheapest kernel the caller
+    has materialized, so the maintained-view serve path (measured 36×
+    cheaper than one-shot at sf10, 2.8 s vs 99 s — BENCH §2i) is
+    reachable without knowing the kernel zoo:
+
+    - ``index`` carrying a ``cell`` column + ``codebook`` (the frozen
+      bootstrap codebook the stream assigned against) → IVF-pruned
+      serve (:func:`search_index_pruned`) — the scale path.
+    - ``index`` without cells (or without its codebook) → full-scan
+      serve over the pre-embedded rows (:func:`search_index`) — skips
+      the corpus re-embed.
+    - no ``index`` → one-shot embed + scan of the live state
+      (:func:`search_live_state`), with a log line noting what it
+      costs relative to maintaining a view
+      (:func:`embedding_index_stream`).
+
+    All three return the identical (q_conv, q_turn, conv_id, turn_idx,
+    cos, rank) contract; flat-vs-one-shot equality is pinned in
+    tests/test_semsearch.py."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    if index is not None:
+        if "cell" in index.columns and codebook is not None:
+            return search_index_pruned(index, codebook, topk, q_cap, nprobe)
+        if "cell" in index.columns:
+            log.info(
+                "semsearch.search: cell-partitioned index supplied without "
+                "its codebook — serving the full-scan kernel (pass the "
+                "frozen bootstrap codebook to get the IVF-pruned serve)"
+            )
+        return search_index(
+            index.select("conv_id", "turn_idx", "emb", "nrm"), topk, q_cap
+        )
+    log.info(
+        "semsearch.search: no maintained index supplied — one-shot "
+        "embed+scan of the full state (measured 36x the maintained-view "
+        "serve at sf10; maintain one with embedding_index_stream and "
+        "pass its read_view here)"
+    )
+    return search_live_state(state, topk, q_cap)
+
+
 def search_live_state(
     state: DataFrame,
     topk: int = SEARCH_TOPK,
@@ -205,9 +258,6 @@ def search_index(
     )
     return _rank_topk(scored, topk)
 
-
-INDEX_CELLS = 64
-SEARCH_NPROBE = 2
 
 #: sink schema for the cell-partitioned (IVF-pruned) index view
 INDEX_CELLS_VIEW_DDL = (

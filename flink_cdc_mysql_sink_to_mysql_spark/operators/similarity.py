@@ -396,15 +396,28 @@ def ivf_assign(
             ).alias("ccos"),
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
+    # Argmax as a max_by AGGREGATION, not a row_number window: the
+    # broadcast join leaves each vector's k scored rows co-located, so
+    # the partial aggregate reduces n·k rows to n BEFORE the exchange —
+    # the window form shuffled all n·k rows WITH their embedding
+    # payloads (measured: the dominant cost of the auto-k SemDeDup at
+    # sf10 once the codebook grows to √(n/2)). The ordering struct
+    # reproduces the window's (ccos DESC NULLS LAST, cid ASC) exactly:
+    # cosines are ≥ -1, so coalescing NULL (zero-norm operand under
+    # try_divide) to -2.0 ranks it below every real score, and -cid
+    # breaks ties toward the smallest cid.
+    ord_s = F.struct(
+        F.coalesce(F.col("ccos"), F.lit(-2.0)).alias("c"),
+        (-F.col("cid")).alias("nc"),
     )
     # v_nrm rides along so ivf_topk's probe join doesn't re-fold the
     # corpus norms (norms once per vec, full stop)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "v_nrm", F.col("cid").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.max_by(F.struct("embedding", "v_nrm", "cid"), ord_s).alias("w"))
+        .select(
+            "vec_id", "w.embedding", "w.v_nrm", F.col("w.cid").alias("cell")
+        )
     )
 
 
@@ -606,10 +619,41 @@ def quantize_int8_sql(rel: str) -> str:
 SEMDEDUP_THRESHOLD = 0.45
 
 
+def semdedup_auto_k(n_vectors: int) -> int:
+    """Corpus-derived SemDeDup codebook size: k ≈ √(n/2) (the published
+    recipe's cluster-count rule), floored at 1. Keeps the within-cell
+    probe O(n²/k) = O(n^1.5) instead of the O(n²/64) a FIXED codebook
+    degenerates to as the corpus grows (round-4 review finding: 294 s
+    at sf10 and unrunnable at sf100 under the fixed 64-cell default).
+    Mirrored exactly by the DuckDB oracle's scalar subquery in
+    :func:`semantic_dedup_sql` — both sides compute
+    ``greatest(1, ceil(sqrt(n / 2.0)))`` in doubles."""
+    import math
+
+    return max(1, math.ceil(math.sqrt(n_vectors / 2.0)))
+
+
+def _seq_sq_norms(m):
+    """Sequential-fold L2 norms of the rows of ``m`` — the EXACT fp-op
+    order of dedup.norm_fold (((0+x₀²)+x₁²)+…), vectorized across rows,
+    so results are bit-identical to the Column/DuckDB folds."""
+    import numpy as np
+
+    acc = np.zeros(m.shape[0], dtype=np.float64)
+    for d in range(m.shape[1]):
+        acc = acc + m[:, d] * m[:, d]
+    return np.sqrt(acc)
+
+
+#: column-block width for the within-cell pair scan — bounds kernel
+#: memory at rows(cell) × 1024 doubles per block
+_SEMDEDUP_BLOCK = 1024
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = SEMDEDUP_THRESHOLD,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
     centroids: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
@@ -617,22 +661,138 @@ def semantic_dedup(
     trick that turns O(n²) embedding near-dup into O(Σ cᵢ²) with
     bounded cluster sizes. A vector is dropped when some SAME-CLUSTER
     vector with a smaller vec_id has cosine ≥ ``threshold`` (keep-first
-    on id order — one relational pass, no iterative greedy chain).
-    Returns ``(vec_id, cell, is_kept)`` for every input vector, the
-    keep-flag form downstream mixture/sampling stages gate on.
+    on id order — no iterative greedy chain). Returns ``(vec_id, cell,
+    is_kept)`` for every input vector, the keep-flag form downstream
+    mixture/sampling stages gate on.
 
-    Scale shape: assignment is the broadcast argmax join from
-    :func:`ivf_assign` (O(n·k), codebook constant); the dup probe is an
-    equi-join ON CELL ONLY (never all-pairs) with norms folded once per
-    vector and reused on both sides; the verdict is a left-anti-shaped
-    left join on vec_id. On a real corpus the codebook size grows with
-    n (k-means via :func:`ivf_centroids_kmeans` drops in unchanged) so
-    per-cluster pair counts stay bounded — exactly the published
-    SemDeDup recipe. Clustering makes it approximate by construction
+    Scale shape (round-4 review finding closed twice over): (a) the
+    codebook size GROWS with the corpus by default — when the caller
+    passes neither ``n_centroids`` nor ``centroids``, k = √(n/2)
+    (:func:`semdedup_auto_k`, the published recipe's rule), so the
+    probe is O(n^1.5) total, not the O(n²/const) the old fixed-64
+    default degenerated to; (b) both hot loops run as Arrow-batched
+    numpy kernels in the EXACT fp-op order of the Column folds, so
+    results stay bit-identical to :func:`semantic_dedup_relational`
+    and the DuckDB oracle (equality pinned in tests) while running
+    ~10× faster than the interpreted higher-order-function fold:
+    assignment is a mapInPandas pass against the broadcast codebook
+    (O(n·k·dim) multiply-adds, argmax ties → smallest cid, zero-norm →
+    the same -2.0 sentinel the relational ordering uses); the dup
+    probe is one applyInPandas per cell (cells shuffle once, ~√(2n)
+    rows each; the pair scan is column-blocked at ``_SEMDEDUP_BLOCK``
+    so kernel memory is rows×block doubles regardless of cell size).
+    Skew note: one cell = one task — the deterministic-sample codebook
+    keeps cells near-uniform (max/mean ≈ 1.2 measured at sf10); a
+    pathological cell concentrates in one task, the same keyed bound
+    as session windows. A k-means codebook via
+    :func:`ivf_centroids_kmeans` drops in unchanged through
+    ``centroids=``. Clustering makes it approximate by construction
     (cross-cluster near-dups are unseen); the exact baseline it
     replaces is dedup.embedding_near_dup, and the DuckDB oracle
-    replicates the SAME cluster-scoped semantics, so parity is exact.
+    replicates the SAME cluster-scoped semantics — including the same
+    corpus-derived k — so parity is exact.
     """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None and n_centroids is None:
+        n_centroids = semdedup_auto_k(emb.count())
+    cb_rows = sorted(
+        (
+            ivf_centroids(emb, n_centroids) if centroids is None else centroids
+        ).collect(),
+        key=lambda r: r["cid"],
+    )
+    C = np.array([list(r["cemb"]) for r in cb_rows], dtype=np.float64)
+    cids = np.array([r["cid"] for r in cb_rows], dtype=np.int64)
+    c_nrm = _seq_sq_norms(C)
+    sc = emb.sparkSession.sparkContext
+    b_C, b_cids, b_cnrm = sc.broadcast(C), sc.broadcast(cids), sc.broadcast(c_nrm)
+
+    def _assign(batches):
+        Cm, cid_v, cn = b_C.value, b_cids.value, b_cnrm.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = _seq_sq_norms(m)
+            acc = np.zeros((len(m), len(Cm)), dtype=np.float64)
+            for d in range(Cm.shape[1]):
+                acc = acc + m[:, d, None] * Cm[None, :, d]
+            denom = nrm[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                key = acc / denom
+            # try_divide NULL (zero divisor) ranks below any real
+            # cosine — the relational path's coalesce(ccos, -2.0)
+            key = np.where(denom == 0.0, -2.0, key)
+            # first max = smallest index = smallest cid (cids sorted)
+            cell = cid_v[np.argmax(key, axis=1)]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell,
+                    "embedding": pdf["embedding"],
+                    "nrm": nrm,
+                }
+            )
+
+    assigned = emb.select("vec_id", "embedding").mapInPandas(
+        _assign,
+        schema="vec_id long, cell long, embedding array<double>, nrm double",
+    )
+
+    def _probe(pdf):
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n_c = len(pdf)
+        dup = np.zeros(n_c, dtype=bool)
+        if n_c > 1:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            for j0 in range(0, n_c - 1, _SEMDEDUP_BLOCK):
+                j1 = min(j0 + _SEMDEDUP_BLOCK, n_c - 1)
+                rows = slice(j0 + 1, n_c)  # only i > j0 can pair in-block
+                acc = np.zeros((n_c - j0 - 1, j1 - j0), dtype=np.float64)
+                for d in range(m.shape[1]):
+                    acc = acc + m[rows, d, None] * m[None, j0:j1, d]
+                denom = nrm[rows, None] * nrm[None, j0:j1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / denom
+                ge = (denom != 0.0) & (cos >= threshold)
+                # mask j (global col) < i (global row)
+                ge &= (
+                    np.arange(j0, j1)[None, :]
+                    < np.arange(j0 + 1, n_c)[:, None]
+                )
+                dup[j0 + 1 :] |= ge.any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "cell": pdf["cell"],
+                "is_kept": (~dup).astype(np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        _probe, schema="vec_id long, cell long, is_kept int"
+    )
+
+
+def semantic_dedup_relational(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """The pure-Column form of :func:`semantic_dedup` — the structural
+    twin of the DuckDB oracle (same broadcast argmax join via
+    :func:`ivf_assign`, cell-scoped pair join, left-anti verdict) and
+    the reference the numpy kernels are equality-pinned against in
+    tests. Same results bit-for-bit; ~10× slower at bench scale
+    because the fold arithmetic runs as interpreted higher-order
+    functions (norm_fold docstring's A/B) and the self-join recomputes
+    the assignment per side."""
+    if centroids is None and n_centroids is None:
+        n_centroids = semdedup_auto_k(emb.count())
     a = ivf_assign(emb, n_centroids, centroids).select(
         "vec_id", "embedding", "v_nrm", "cell"
     )
@@ -670,20 +830,35 @@ def semantic_dedup(
 def semantic_dedup_sql(
     rel: str,
     threshold: float = SEMDEDUP_THRESHOLD,
-    n_centroids: int = N_CENTROIDS,
+    n_centroids: int | None = None,
 ) -> str:
-    """DuckDB twin of :func:`semantic_dedup` (same fixed codebook, same
-    cluster-scoped keep-first rule, same fold arithmetic)."""
+    """DuckDB twin of :func:`semantic_dedup` (same codebook — the
+    corpus-derived √(n/2) size by default, via a scalar subquery that
+    mirrors :func:`semdedup_auto_k` in doubles — same cluster-scoped
+    keep-first rule, same fold arithmetic)."""
+    k_expr = (
+        str(n_centroids)
+        if n_centroids is not None
+        else "(SELECT k FROM auto_k)"
+    )
+    auto_k_cte = (
+        ""
+        if n_centroids is not None
+        else (
+            "auto_k AS (SELECT GREATEST(1, CAST(ceil(sqrt(count(*) / 2.0))"
+            f" AS BIGINT)) AS k FROM {rel}),\n    "
+        )
+    )
     ccos_assign = cosine_sql("e.embedding", "c.embedding")
     cos = cosine_sql("x.embedding", "y.embedding")
     return f"""
-    WITH assign AS (
+    WITH {auto_k_cte}assign AS (
       SELECT vec_id, embedding, cell FROM (
         SELECT e.vec_id, e.embedding, c.vec_id AS cell,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {ccos_assign} DESC, c.vec_id ASC)
                  AS rn
-        FROM {rel} e JOIN {rel} c ON c.vec_id < {n_centroids}
+        FROM {rel} e JOIN {rel} c ON c.vec_id < {k_expr}
       ) WHERE rn = 1
     ),
     dups AS (

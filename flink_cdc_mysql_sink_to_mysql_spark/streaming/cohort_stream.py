@@ -209,14 +209,31 @@ def run_dynamic_cohorts(
     state = {"rules": {}, "loaded_once": False, "errors": 0, "batches": 0}
 
     def _persist_lastgood() -> None:
-        # atomic copy of the raw rule file so a FUTURE run that opens on
-        # a torn file can still serve this set ("last good" must survive
-        # the process, not just the in-memory dict — review finding)
-        import shutil as _sh
+        # serialize the PARSED rule set, not a copy of the raw file: a
+        # non-atomic writer can tear rules_path between our parse and a
+        # copy (TOCTOU — review finding), which would persist a torn
+        # file as "last good". Re-emitting state["rules"] in the wire
+        # shape load_rules parses makes last-good by construction the
+        # set that actually loaded.
+        import json as _json
 
+        specs = [
+            {
+                "id": rid,
+                "target": r.target,
+                "is_exist": r.is_exist,
+                "value_days": r.value_days,
+                "sub_params": [
+                    [sp.dimension, sp.operator, sp.value]
+                    for sp in r.sub_params
+                ],
+            }
+            for rid, r in state["rules"].items()
+        ]
         tmp = lastgood + ".tmp"
         try:
-            _sh.copyfile(rules_path, tmp)
+            with open(tmp, "w") as f:
+                _json.dump(specs, f)
             os.replace(tmp, lastgood)
         except OSError:
             pass  # best-effort: the in-run fallback still works

@@ -98,13 +98,20 @@ _DDL_ATOMIC_CANON = {
     "date": "date",
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",
+    "timestamp_ltz": "timestamp",  # simpleString() of TimestampType
+    "void": "void",
+    "variant": "variant",
     "decimal": "decimal(10,0)", "dec": "decimal(10,0)",
     "numeric": "decimal(10,0)",
 }
 # parametric / nested spellings we can't canonicalize without Spark's
-# parser — passed through lowered; the session-time path settles them
+# parser — passed through lowered; the session-time path settles them.
+# `interval ...` covers the day-time/year-month unit forms ("interval
+# day to second" etc.) so CLI validation is never stricter than the
+# session-time parser it fronts (review finding).
 _DDL_COMPLEX_RE = re.compile(
     r"^(decimal|dec|numeric)\s*\(|^(array|map|struct)\s*<|^(char|varchar)\s*\("
+    r"|^interval(\s|$)"
 )
 
 

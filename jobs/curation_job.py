@@ -193,32 +193,22 @@ _LARGE_INPUT_BYTES = 256 * 1024**2
 
 
 def _check_driver_heap(spark: SparkSession, sf_dir: str) -> None:
-    """Undersized-driver fail-fast: in-code spark.driver.memory cannot
-    apply once the JVM is up, so an operator who forgets
-    ``--driver-memory`` on a large input would OOM mid-funnel. Compare
-    the LIVE JVM max heap (what -Xmx actually gave us) against the
-    input size and refuse with the exact remedy."""
-    docs = os.path.join(sf_dir, "documents.parquet")
-    try:
-        input_bytes = sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(docs)
-            for f in fs
-        ) if os.path.isdir(docs) else os.path.getsize(docs)
-    except OSError:
-        return  # unreadable input fails later with its own error
-    max_heap = int(
-        spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    """Undersized-driver fail-fast (shared helper: plans/heap.py —
+    measured here: the sf10 funnel OOMs the 1 GiB spark-submit default,
+    BENCH/BASELINE.md §2b²). Module-level bounds kept for testability."""
+    from flink_cdc_mysql_sink_to_mysql_spark.plans.heap import (
+        check_driver_heap,
     )
-    if input_bytes >= _LARGE_INPUT_BYTES and max_heap < _MIN_DRIVER_HEAP_BYTES:
-        raise SystemExit(
-            f"curation_job: driver heap is {max_heap / 1024**3:.1f} GiB but "
-            f"the input ({input_bytes / 1024**2:.0f} MiB of documents) needs "
-            "more for the clustering/packing funnel — relaunch with "
-            "`spark-submit --driver-memory 8g ...` (in-code "
-            "spark.driver.memory cannot resize a running JVM; measured: "
-            "the sf10 run OOMs at the 1 GiB default, BENCH/BASELINE.md §2b²)"
-        )
+
+    check_driver_heap(
+        spark,
+        os.path.join(sf_dir, "documents.parquet"),
+        job="curation_job",
+        needs="the clustering/packing funnel (measured: the sf10 run "
+        "OOMs at the 1 GiB default, BENCH/BASELINE.md §2b²)",
+        min_heap_bytes=_MIN_DRIVER_HEAP_BYTES,
+        large_input_bytes=_LARGE_INPUT_BYTES,
+    )
 
 
 def main() -> None:

@@ -38,6 +38,7 @@ sys.path.insert(
 from pyspark.sql import SparkSession  # noqa: E402
 
 from flink_cdc_mysql_sink_to_mysql_spark.operators import dedup  # noqa: E402
+from flink_cdc_mysql_sink_to_mysql_spark.plans import heap  # noqa: E402
 from flink_cdc_mysql_sink_to_mysql_spark.sources.transcripts import (  # noqa: E402
     mysql_changelog,
 )
@@ -72,6 +73,20 @@ def main() -> None:
     spark = SparkSession.builder.appName("dedup-index").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.check or args.serve_pairs:
+        # the memory-sensitive paths: --check re-signatures the whole
+        # drained state and exceptAlls it against the view both ways;
+        # --serve-pairs runs the band self-join + verify. Fail fast
+        # with the exact remedy instead of OOMing mid-recompute
+        # (curation_job._check_driver_heap pattern, review finding).
+        heap.check_driver_heap(
+            spark,
+            os.path.join(args.sf_dir, "events.parquet"),
+            job="dedup_index_job",
+            needs="the --check/--serve-pairs recompute (from-scratch "
+            "signature pass + two exceptAll passes over the drained "
+            "state)",
+        )
 
     spool = os.path.join(args.workdir, "spool")
     if not os.path.isdir(spool):
@@ -105,11 +120,19 @@ def main() -> None:
             print(json.dumps(out))
             sys.exit(1)
     if args.serve_pairs:
+        mode: dict = {}
         pairs = dedup.near_dup_pairs_from_index(
-            view, state.snapshot(spark), verify=args.verify_mode
+            view, state.snapshot(spark), verify=args.verify_mode,
+            mode_out=mode,
         )
         out["pairs"] = pairs.count()
-        out["verify_mode"] = args.verify_mode
+        # record the RESOLVED mode — "auto" resolves to exact/estimate
+        # at the candidate bound, and the served pair semantics depend
+        # on which path ran (review finding)
+        out["verify_mode"] = mode["verify"]
+        out["verify_mode_requested"] = args.verify_mode
+        if "n_candidates" in mode:
+            out["band_candidates"] = mode["n_candidates"]
     print(json.dumps(out))
     spark.stop()
 

@@ -82,6 +82,20 @@ def main() -> None:
     spark = SparkSession.builder.appName("ivm-view").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.check:
+        # --check replays the whole spool through the batch twin and
+        # exceptAlls it against the view both ways — fail fast with the
+        # exact remedy instead of OOMing mid-recompute
+        # (curation_job._check_driver_heap pattern, review finding)
+        from flink_cdc_mysql_sink_to_mysql_spark.plans import heap
+
+        heap.check_driver_heap(
+            spark,
+            os.path.join(args.sf_dir, "events.parquet"),
+            job="ivm_view_job",
+            needs="the --check recompute (batch-twin replay of the "
+            "full spool + two exceptAll passes)",
+        )
 
     os.makedirs(args.workdir, exist_ok=True)
     # one maintained view per workdir: the checkpoint pins the topology

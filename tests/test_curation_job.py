@@ -78,3 +78,40 @@ def test_driver_heap_failfast_message(spark, tmp_path, monkeypatch):
     # adequately sized heap: no-op
     monkeypatch.setattr(cj, "_MIN_DRIVER_HEAP_BYTES", 1)
     cj._check_driver_heap(spark, "/root/testdata/sf0.001")
+
+
+def test_shared_heap_failfast_helper(spark):
+    """plans/heap.py check_driver_heap — the single-sourced fail-fast
+    the --check paths of dedup_index_job / ivm_view_job now share
+    (round-4 review: apply the curation_job pattern to every
+    memory-sensitive entrypoint): undersized heap + large input exits
+    with the job name and the exact --driver-memory remedy; an
+    adequately sized heap or small input is a no-op; an unreadable
+    input defers to its own later error."""
+    import pytest
+
+    from flink_cdc_mysql_sink_to_mysql_spark.plans import heap
+
+    events = "/root/testdata/sf0.001/events.parquet"
+    with pytest.raises(SystemExit, match=r"ivm_view_job.*--driver-memory 8g"):
+        heap.check_driver_heap(
+            spark,
+            events,
+            job="ivm_view_job",
+            needs="the --check recompute",
+            min_heap_bytes=1 << 60,
+            large_input_bytes=1,
+        )
+    # big heap → no-op; small input → no-op; missing input → no-op
+    heap.check_driver_heap(
+        spark, events, job="j", needs="x", min_heap_bytes=1,
+        large_input_bytes=1,
+    )
+    heap.check_driver_heap(
+        spark, events, job="j", needs="x", min_heap_bytes=1 << 60,
+        large_input_bytes=1 << 60,
+    )
+    heap.check_driver_heap(
+        spark, "/nonexistent/input.parquet", job="j", needs="x",
+        min_heap_bytes=1 << 60, large_input_bytes=1,
+    )

@@ -197,6 +197,43 @@ def test_auto_escalates_above_candidate_bound(spark):
     )
 
 
+def test_resolved_verify_mode_is_surfaced(spark, caplog):
+    """auto's resolution is attributable (review finding): mode_out
+    reports the RESOLVED mode — which FLIPS when the candidate count
+    crosses the bound — plus the candidate count, and the escalation
+    emits a WARNING log line; explicit modes report themselves."""
+    import logging
+
+    rows = [
+        ("c", "cA", 0, LONG_A, 100),
+        ("c", "cB", 0, LONG_B, 101),
+        ("c", "cC", 0, OTHER, 102),
+    ]
+    state = cdc.apply_changelog(_env(spark, rows))
+    index = dedup.minhash_index_rows(state)
+
+    below = {}
+    dedup.near_dup_pairs_from_index(index, state, mode_out=below)
+    assert below["verify"] == "exact" and below["n_candidates"] >= 1
+
+    above = {}
+    with caplog.at_level(
+        logging.WARNING,
+        logger="flink_cdc_mysql_sink_to_mysql_spark.operators.dedup",
+    ):
+        dedup.near_dup_pairs_from_index(
+            index, state, max_exact_candidates=0, mode_out=above
+        )
+    assert above["verify"] == "estimate"  # the flip, reported
+    assert any("escalated" in r.message for r in caplog.records)
+
+    explicit = {}
+    dedup.near_dup_pairs_from_index(
+        index, state, verify="estimate", mode_out=explicit
+    )
+    assert explicit == {"verify": "estimate"}  # no count: no auto probe
+
+
 def test_index_records_and_enforces_shingle_width(spark):
     """The index rows record shingle_n; serving with a different n
     refuses instead of silently verifying against a different Jaccard

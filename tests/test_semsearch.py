@@ -163,3 +163,45 @@ def test_search_plan_broadcasts_queries(state):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     # per-query top-k runs as a rank-limit window, not a global sort
     assert "WindowGroupLimit" in plan
+
+
+def test_search_front_door_routes_and_agrees(state, caplog):
+    """semsearch.search() — the discoverable front door (round-4 review
+    finding: the 36x maintained-view serve path must be reachable
+    without reading BENCH) — routes to each kernel and returns results
+    equal to calling that kernel directly; the one-shot fallback says
+    what it costs."""
+    import logging
+
+    emb = semsearch.embedding_rows(state).persist()
+    try:
+        # no index → one-shot, equal to search_live_state, with the log
+        with caplog.at_level(
+            logging.INFO,
+            logger="flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
+        ):
+            a = semsearch.search(state).collect()
+        assert any("one-shot" in r.message for r in caplog.records)
+        assert sorted(map(tuple, a)) == sorted(
+            map(tuple, semsearch.search_live_state(state).collect())
+        )
+
+        # flat index → full-scan serve (no re-embed), same answer
+        b = semsearch.search(state, index=emb).collect()
+        assert sorted(map(tuple, b)) == sorted(map(tuple, a))
+
+        # cell index + codebook → the IVF-pruned kernel
+        cb = semsearch.index_codebook(emb).persist()
+        cells = semsearch.assign_cells(emb, cb).persist()
+        try:
+            c = semsearch.search(state, index=cells, codebook=cb).collect()
+            want = semsearch.search_index_pruned(cells, cb).collect()
+            assert sorted(map(tuple, c)) == sorted(map(tuple, want))
+            # cell index WITHOUT codebook → falls back to full scan
+            d = semsearch.search(state, index=cells).collect()
+            assert sorted(map(tuple, d)) == sorted(map(tuple, a))
+        finally:
+            cb.unpersist()
+            cells.unpersist()
+    finally:
+        emb.unpersist()

@@ -600,6 +600,78 @@ def test_semantic_dedup_keep_first_within_cluster(spark):
     assert out[12]["cell"] == 1
 
 
+def test_semdedup_auto_k_rule():
+    """k ≈ √(n/2), floored at 1 — the published recipe's codebook rule,
+    applied whenever the caller passes neither n_centroids nor
+    centroids (round-4 review finding: a FIXED default is O(n²/const)
+    at scale). Values must match the DuckDB oracle's scalar subquery:
+    greatest(1, ceil(sqrt(n / 2.0)))."""
+    assert similarity.semdedup_auto_k(0) == 1
+    assert similarity.semdedup_auto_k(1) == 1
+    assert similarity.semdedup_auto_k(2) == 1
+    assert similarity.semdedup_auto_k(3) == 2
+    assert similarity.semdedup_auto_k(5000) == 50
+    assert similarity.semdedup_auto_k(200_000) == 317
+    assert similarity.semdedup_auto_k(2_000_000) == 1000
+
+
+def test_semantic_dedup_defaults_to_auto_k(spark):
+    """With neither n_centroids nor centroids, the codebook is the
+    corpus-derived √(n/2) sample — every assigned cell id sits below
+    auto_k(n), not below the old fixed 64."""
+    n = 8  # auto_k = 2
+    emb = spark.createDataFrame(
+        [(i, [float(i + 1), float((i * 7) % 5), 1.0, 0.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    out = similarity.semantic_dedup(emb).collect()
+    k = similarity.semdedup_auto_k(n)
+    assert k == 2
+    assert len(out) == n
+    assert {r["cell"] for r in out} <= set(range(k))
+
+
+def test_semantic_dedup_numpy_equals_relational(spark):
+    """The Arrow/numpy kernels (default path) are bit-equal to the
+    pure-Column form on the real corpus AND on degenerate inputs (zero
+    vector → try_divide NULL → never a dup; exact-tie cosines →
+    smallest-cid cell): same sequential fp-op order by construction,
+    pinned here so a kernel edit can't drift."""
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    a = sorted(map(tuple, similarity.semantic_dedup(emb).collect()))
+    b = sorted(
+        map(tuple, similarity.semantic_dedup_relational(emb).collect())
+    )
+    assert a == b and len(a) > 0
+
+    weird = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),  # zero norm: NULL cosine
+            (3, [1.0, 0.0, 0.0, 0.0]),  # exact dup of 0
+            (4, [-1.0, 0.0, 0.0, 0.0]),  # tie candidate across cells
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    for k in (1, 2, 3):
+        x = sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup(weird, n_centroids=k).collect(),
+            )
+        )
+        y = sorted(
+            map(
+                tuple,
+                similarity.semantic_dedup_relational(
+                    weird, n_centroids=k
+                ).collect(),
+            )
+        )
+        assert x == y, f"k={k}"
+
+
 def test_semantic_dedup_cluster_scoping_is_visible(spark):
     """Near-dups split across clusters are NOT dropped — the documented
     approximation vs the exact embedding_near_dup baseline (this is the

@@ -6,18 +6,20 @@ prior round can yield its slot to a never-driver-checked op, and gets
 pinned here against the SAME DuckDB oracle — deregistration never
 weakens a correctness guarantee.
 
-Round-4 rotation (VERDICT r3 ask #2): rotated IN scd2_history,
-preference_pairs, cohort_exist_cube, search_live_state,
-abandoned_conversations, dedup_span, dedup_semantic (first driver rows);
-rotated OUT (now pinned here) cohort_exist_salted, window_sliding,
-ann_cosine_topk_numpy, dedup_embedding_cosine_lsh, text_rolling_fp_cp,
-dedup_jaccard_ngram, multimodal_decode_fake.
+Round-5 rotation (VERDICT r4 ask #3 — the last never-driver-checked
+ops get first independent driver rows): rotated IN scd2_asof,
+edit_churn, ann_pq_topk, ann_pq_topk_adc (rows-only: no SQL twin),
+cohort_exist_adaptive, near_dups_live_state, search_index_pruned,
+dedup_substring, vocab_rank_quality; rotated OUT (now pinned here)
+scd2_history, preference_pairs, cohort_exist_cube, search_live_state,
+dedup_span, multimodal_frame_sample, vocab_top_terms, sample_topk,
+shuffle_shards. After this round EVERY operator with an oracle has
+earned a driver CORRECTNESS row at least once.
 
-Earlier-round residents that never had driver slots stay pinned here
-too: turn_events_pandas_salted, ann_ivf_topk_nprobe2, dedup_simhash,
-dedup_substring, vocab_rank_quality, scd2_asof, edit_churn,
-ann_pq_topk, cohort_exist_adaptive, near_dups_live_state,
-search_index_pruned.
+Round-4 rotation residents that stay pinned here: cohort_exist_salted,
+window_sliding, ann_cosine_topk_numpy, dedup_embedding_cosine_lsh,
+text_rolling_fp_cp, dedup_jaccard_ngram, multimodal_decode_fake,
+turn_events_pandas_salted, ann_ivf_topk_nprobe2, dedup_simhash.
 """
 
 from __future__ import annotations
@@ -29,7 +31,9 @@ from flink_cdc_mysql_sink_to_mysql_spark import entry_queries as eq
 from flink_cdc_mysql_sink_to_mysql_spark.functions import text as textfn
 from flink_cdc_mysql_sink_to_mysql_spark.operators import (
     dedup,
+    examples,
     history,
+    multimodal,
     similarity,
 )
 from tests.conftest import SF_CORRECT, register_views
@@ -100,50 +104,55 @@ CASES = [
         eq.q_dedup_simhash,
         lambda: dedup.simhash_sql("documents"),
     ),
+    # --- rotated OUT of the driver window in round 5 (each earned its
+    # driver CORRECTNESS rows in r1-r4; same oracles pinned here so
+    # rotation never weakens a guarantee) ---
     (
-        "dedup_substring",
-        eq.q_dedup_substring,
-        lambda: dedup.substring_containment_sql("documents"),
+        "scd2_history",
+        eq.q_scd2_history,
+        lambda: eq.SCD2_ORACLE,
     ),
     (
-        "vocab_rank_quality",
-        eq.q_vocab_rank_quality,
-        lambda: textfn.vocab_rank_quality_sql("documents"),
+        "preference_pairs",
+        eq.q_preference_pairs,
+        lambda: history.preference_pairs_sql(
+            eq.MYSQL_CHANGELOG_SQL, eq.MONGO_CHANGELOG_SQL
+        ),
     ),
     (
-        "scd2_asof",
-        eq.q_scd2_asof,
-        lambda: history.asof_snapshot_sql(eq.SCD2_ORACLE, eq.ASOF_SEQ),
-    ),
-    (
-        "edit_churn",
-        eq.q_edit_churn,
-        lambda: history.edit_churn_sql(eq.MYSQL_CHANGELOG_SQL),
-    ),
-    (
-        "ann_pq_topk",
-        eq.q_ann_pq_topk,
-        lambda: similarity.pq_topk_sql("embeddings"),
-    ),
-    (
-        "cohort_exist_adaptive",
-        eq.q_cohort_exist_adaptive,
+        "cohort_exist_cube",
+        eq.q_cohort_exist_cube,
         lambda: eq.COHORT_EXIST_ORACLE,
     ),
     (
-        "near_dups_live_state",
-        eq.q_near_dups_live_state,
-        lambda: eq.near_dups_live_oracle(),
+        "search_live_state",
+        eq.q_search_live_state,
+        lambda: eq.SEARCH_LIVE_STATE_ORACLE,
     ),
     (
-        "search_index_pruned",
-        eq.q_search_index_pruned,
-        lambda: __import__(
-            "flink_cdc_mysql_sink_to_mysql_spark.operators.semsearch",
-            fromlist=["search_index_pruned_sql"],
-        ).search_index_pruned_sql(
-            f"SELECT conv_id, turn_idx, text FROM ({eq.CDC_APPLY_ORACLE})"
-        ),
+        "dedup_span",
+        eq.q_dedup_span,
+        lambda: dedup.span_dedup_sql("documents"),
+    ),
+    (
+        "multimodal_frame_sample",
+        eq.q_multimodal_frames,
+        lambda: multimodal.frame_sample_sql("documents"),
+    ),
+    (
+        "vocab_top_terms",
+        eq.q_vocab_top_terms,
+        lambda: textfn.vocab_top_terms_sql("documents"),
+    ),
+    (
+        "sample_topk",
+        eq.q_sample_topk,
+        lambda: examples.stratified_topk_sql(eq._DOCS_REL),
+    ),
+    (
+        "shuffle_shards",
+        eq.q_shuffle_shards,
+        lambda: examples.shuffle_shards_sql("documents"),
     ),
 ]
 
