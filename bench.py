@@ -956,7 +956,25 @@ def main() -> None:
         return
 
     if "--bootstrap-compare" in sys.argv:
-        print(json.dumps(run_bootstrap_compare(cpus=min(cpus, 8))))
+        # SPARK_GRAFT_BOOTSTRAP_TURNS / _CHUNKS: the decade/chunk sweep
+        # that evidences the trickle cost model (∝ n·(chunks+1)/2, i.e.
+        # quadratic in n at FIXED batch size) vs the one-write-per-
+        # bucket bootstrap (∝ n) — BENCH §2g's growth-exponent rows
+        print(
+            json.dumps(
+                run_bootstrap_compare(
+                    cpus=min(cpus, 8),
+                    n_turns=int(
+                        os.environ.get(
+                            "SPARK_GRAFT_BOOTSTRAP_TURNS", "2000000"
+                        )
+                    ),
+                    n_chunks=int(
+                        os.environ.get("SPARK_GRAFT_BOOTSTRAP_CHUNKS", "8")
+                    ),
+                )
+            )
+        )
         return
 
     if "--skew-compare" in sys.argv:

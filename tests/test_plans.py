@@ -23,7 +23,13 @@ def _no_split_repair(spark):
 
 
 def _plan(spark, name: str) -> str:
-    df = entry_queries.queries()[name](spark, SF_CORRECT)
+    # same resolution as bench.py: registry first, then the plain
+    # q_<name> function (ops rotated out of the 50-slot driver window
+    # keep their plan pins here)
+    fn = entry_queries.queries().get(name) or getattr(
+        entry_queries, f"q_{name}"
+    )
+    df = fn(spark, SF_CORRECT)
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "formatted"
