@@ -636,13 +636,33 @@ def semdedup_auto_k(n_vectors: int) -> int:
 def _seq_sq_norms(m):
     """Sequential-fold L2 norms of the rows of ``m`` — the EXACT fp-op
     order of dedup.norm_fold (((0+x₀²)+x₁²)+…), vectorized across rows,
-    so results are bit-identical to the Column/DuckDB folds."""
+    so results are bit-identical to the Column/DuckDB folds. In-place
+    += performs the same IEEE add as acc = acc + t (one rounding per
+    element, same operand order) — only the allocation differs."""
     import numpy as np
 
     acc = np.zeros(m.shape[0], dtype=np.float64)
     for d in range(m.shape[1]):
-        acc = acc + m[:, d] * m[:, d]
+        acc += m[:, d] * m[:, d]
     return np.sqrt(acc)
+
+
+def _seq_dot_block(a, b):
+    """Pairwise sequential-fold dot products: a (r×dim) vs b (c×dim) →
+    (r×c), accumulated dimension-by-dimension in the Column fold's
+    exact fp-op order (in-place adds; see _seq_sq_norms)."""
+    import numpy as np
+
+    acc = np.zeros((a.shape[0], b.shape[0]), dtype=np.float64)
+    for d in range(a.shape[1]):
+        acc += a[:, d, None] * b[None, :, d]
+    return acc
+
+
+#: row-chunk width for the assignment kernel: bounds the per-task
+#: (rows × k) temporaries to ~chunk·k doubles whatever Arrow batch
+#: size the session uses (2048·1000·8 ≈ 16 MB at the sf100 auto-k)
+_ASSIGN_CHUNK = 2048
 
 
 #: column-block width for the within-cell pair scan — bounds kernel
@@ -716,17 +736,18 @@ def semantic_dedup(
                 continue
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             nrm = _seq_sq_norms(m)
-            acc = np.zeros((len(m), len(Cm)), dtype=np.float64)
-            for d in range(Cm.shape[1]):
-                acc = acc + m[:, d, None] * Cm[None, :, d]
-            denom = nrm[:, None] * cn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                key = acc / denom
-            # try_divide NULL (zero divisor) ranks below any real
-            # cosine — the relational path's coalesce(ccos, -2.0)
-            key = np.where(denom == 0.0, -2.0, key)
-            # first max = smallest index = smallest cid (cids sorted)
-            cell = cid_v[np.argmax(key, axis=1)]
+            cell = np.empty(len(m), dtype=np.int64)
+            for r0 in range(0, len(m), _ASSIGN_CHUNK):
+                rs = slice(r0, min(r0 + _ASSIGN_CHUNK, len(m)))
+                acc = _seq_dot_block(m[rs], Cm)
+                denom = nrm[rs, None] * cn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    key = acc / denom
+                # try_divide NULL (zero divisor) ranks below any real
+                # cosine — the relational path's coalesce(ccos, -2.0)
+                key = np.where(denom == 0.0, -2.0, key)
+                # first max = smallest index = smallest cid (sorted)
+                cell[rs] = cid_v[np.argmax(key, axis=1)]
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -751,9 +772,7 @@ def semantic_dedup(
             for j0 in range(0, n_c - 1, _SEMDEDUP_BLOCK):
                 j1 = min(j0 + _SEMDEDUP_BLOCK, n_c - 1)
                 rows = slice(j0 + 1, n_c)  # only i > j0 can pair in-block
-                acc = np.zeros((n_c - j0 - 1, j1 - j0), dtype=np.float64)
-                for d in range(m.shape[1]):
-                    acc = acc + m[rows, d, None] * m[None, j0:j1, d]
+                acc = _seq_dot_block(m[rows], m[j0:j1])
                 denom = nrm[rows, None] * nrm[None, j0:j1]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     cos = acc / denom
