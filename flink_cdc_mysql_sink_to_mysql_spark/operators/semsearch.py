@@ -291,10 +291,15 @@ def index_codebook(emb: DataFrame, n_cells: int = INDEX_CELLS) -> DataFrame:
 def assign_cells(emb: DataFrame, codebook: DataFrame) -> DataFrame:
     """Nearest-centroid (max cosine, ties → smallest cid) cell per
     index row — broadcast join against the constant codebook,
-    O(n · n_cells), one window on the pre-exchanged (conv_id,
-    turn_idx) key."""
-    from pyspark.sql import Window as W
-
+    O(n · n_cells). The argmax is a max_by AGGREGATION, not a
+    row_number window: the broadcast join leaves each row's n_cells
+    scored copies co-located, so the partial aggregate reduces
+    n·n_cells rows to n BEFORE any exchange — the window form
+    shuffled every scored copy WITH its embedding payload (the same
+    fix as similarity.ivf_assign). Ordering struct reproduces
+    (ccos DESC NULLS LAST, cid ASC) exactly: cosines ≥ -1, so NULL
+    (zero-norm under try_divide) coalesces to -2.0 below every real
+    score, and -cid breaks ties toward the smallest cid."""
     scored = emb.join(F.broadcast(codebook)).select(
         "conv_id",
         "turn_idx",
@@ -306,13 +311,17 @@ def assign_cells(emb: DataFrame, codebook: DataFrame) -> DataFrame:
             F.col("nrm") * F.col("c_nrm"),
         ).alias("ccos"),
     )
-    w = W.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ccos").desc(), F.col("cid").asc()
+    ord_s = F.struct(
+        F.coalesce(F.col("ccos"), F.lit(-2.0)).alias("c"),
+        (-F.col("cid")).alias("nc"),
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("conv_id", "turn_idx", "emb", "nrm", F.col("cid").alias("cell"))
+        scored.groupBy("conv_id", "turn_idx")
+        .agg(F.max_by(F.struct("emb", "nrm", "cid"), ord_s).alias("w"))
+        .select(
+            "conv_id", "turn_idx", "w.emb", "w.nrm",
+            F.col("w.cid").alias("cell"),
+        )
     )
 
 
