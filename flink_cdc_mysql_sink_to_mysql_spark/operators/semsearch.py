@@ -170,8 +170,8 @@ def search(
     nprobe: int = SEARCH_NPROBE,
 ) -> DataFrame:
     """THE search front door — routes to the cheapest kernel the caller
-    has materialized, so the maintained-view serve path (measured 36×
-    cheaper than one-shot at sf10, 2.8 s vs 99 s — BENCH §2i) is
+    has materialized, so the maintained-view serve path (measured 26×
+    cheaper than one-shot at sf10, 2.2 s vs 57.7 s — BENCH §2i) is
     reachable without knowing the kernel zoo:
 
     - ``index`` carrying a ``cell`` column + ``codebook`` (the frozen
@@ -205,7 +205,7 @@ def search(
         )
     log.info(
         "semsearch.search: no maintained index supplied — one-shot "
-        "embed+scan of the full state (measured 36x the maintained-view "
+        "embed+scan of the full state (measured 26x the maintained-view "
         "serve at sf10; maintain one with embedding_index_stream and "
         "pass its read_view here)"
     )
