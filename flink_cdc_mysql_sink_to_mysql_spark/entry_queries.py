@@ -952,10 +952,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup(_emb(spark, sf_dir))
 
 
-# above this many dup-loser ids the curation anti-join's broadcast
-# build (~10 bytes/id → ~1 GB at 100M) risks OOMing the driver; the
-# gate in q_corpus_curation falls back to the shuffle anti-join there
-CURATION_BROADCAST_MAX_LOSERS = 100_000_000
+# above this many dup-loser ids the curation anti-join falls back to
+# the shuffle form: the broadcast HASHED relation costs ~40–100 B/id
+# (UnsafeRow + LongHashedRelation overhead, NOT the ~10 B raw id), so
+# 10M ids ≈ 0.4–1 GB on the driver — the last size that is safe at
+# the repo's recommended --driver-memory 8g with headroom. The gate
+# must engage BEFORE the build it guards against can OOM (review
+# finding: the earlier 100M bound sat past the crash point).
+CURATION_BROADCAST_MAX_LOSERS = 10_000_000
 
 
 # capstone: the canonical curation pipeline — quality filter + near-dup

@@ -200,6 +200,13 @@ def search(
                 "its codebook — serving the full-scan kernel (pass the "
                 "frozen bootstrap codebook to get the IVF-pruned serve)"
             )
+        elif codebook is not None:
+            log.info(
+                "semsearch.search: codebook supplied but the index has no "
+                "'cell' column (flat INDEX_VIEW_DDL build?) — serving the "
+                "full-scan kernel; rebuild the index with codebook= on "
+                "embedding_index_stream to get the IVF-pruned serve"
+            )
         return search_index(
             index.select("conv_id", "turn_idx", "emb", "nrm"), topk, q_cap
         )

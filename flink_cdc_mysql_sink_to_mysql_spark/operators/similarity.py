@@ -723,10 +723,24 @@ def semantic_dedup(
         ).collect(),
         key=lambda r: r["cid"],
     )
+    if not cb_rows:
+        # Empty corpus, or a codebook filter that selects nothing (all
+        # vec_ids >= k): the relational twin's join against an empty
+        # codebook yields an empty assignment, so the result is empty —
+        # preserve that instead of indexing a zero-width numpy array
+        # (review finding; pinned in test_training_ops).
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, cell long, is_kept int"
+        )
     C = np.array([list(r["cemb"]) for r in cb_rows], dtype=np.float64)
     cids = np.array([r["cid"] for r in cb_rows], dtype=np.int64)
     c_nrm = _seq_sq_norms(C)
     sc = emb.sparkSession.sparkContext
+    # Broadcast lifetime note: these ride in the kernel closures, so
+    # they live exactly as long as the returned (lazy) plan — calling
+    # destroy() here would break re-execution. Once the caller releases
+    # the DataFrame, the Python references drop and ContextCleaner
+    # reaps the blocks; at k=1000/dim=64 the payload is ~0.5 MB/call.
     b_C, b_cids, b_cnrm = sc.broadcast(C), sc.broadcast(cids), sc.broadcast(c_nrm)
 
     def _assign(batches):

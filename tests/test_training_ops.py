@@ -672,6 +672,27 @@ def test_semantic_dedup_numpy_equals_relational(spark):
         assert x == y, f"k={k}"
 
 
+def test_semantic_dedup_degenerate_codebook_is_empty_not_crash(spark):
+    """Empty corpus / a codebook filter selecting nothing must return
+    an EMPTY result with the contract schema — the relational twin's
+    empty-join semantics — not a driver-side numpy IndexError (review
+    finding on the round-5 kernel rewrite)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.semantic_dedup(empty)
+    assert out.columns == ["vec_id", "cell", "is_kept"]
+    assert out.count() == 0
+
+    # non-empty corpus whose vec_ids all sit above the codebook cut:
+    # ivf_centroids(vec_id < k) selects nothing → empty, like the twin
+    high = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = similarity.semantic_dedup(high, n_centroids=2)
+    want = similarity.semantic_dedup_relational(high, n_centroids=2)
+    assert got.count() == 0 and want.count() == 0
+
+
 def test_semantic_dedup_cluster_scoping_is_visible(spark):
     """Near-dups split across clusters are NOT dropped — the documented
     approximation vs the exact embedding_near_dup baseline (this is the
